@@ -1,0 +1,19 @@
+"""Query plans: the engine's public query suite.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+(spark_fn, oracle_sql) pair via plans.registry. `__spark_entry__.py`
+exposes the registry to the driver.
+"""
+
+from whisky_wine_etl_spark.plans.registry import ORACLES, QUERIES, query  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from whisky_wine_etl_spark.plans import (  # noqa: F401
+        dedup,
+        extensions,
+        relational,
+        streaming_twins,
+        wine,
+    )
