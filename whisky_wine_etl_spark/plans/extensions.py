@@ -1,4 +1,265 @@
-"""Similarity / text-analysis / multimodal query plans (filled in by
-operators/{similarity,text,multimodal}.py work)."""
+"""Similarity-search, text-analysis and multimodal query plans."""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.operators import multimodal as mm
+from whisky_wine_etl_spark.operators import similarity as sim
+from whisky_wine_etl_spark.operators import text as tx
+from whisky_wine_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SCORED = """
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         ROUND(
+           SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE))
+           / (SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)))
+              * SQRT(SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)))),
+           6) AS cos6
+  FROM q
+  JOIN embeddings c ON c.vec_id <> q.query_id,
+       LATERAL (SELECT unnest(range(1, 65)) AS i) t(i)
+  GROUP BY q.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos6 DESC, cand_id) AS INT) AS rk
+  FROM scored
+)
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    f"""
+WITH {_COS_SCORED}
+SELECT query_id, cand_id, ROUND(cos6, 4) AS cos_sim, rk
+FROM ranked WHERE rk <= 5
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+@query("sim_topk_lsh")  # ANN recall is probabilistic → rows-only driver check
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.lsh_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens,
+       ROUND(CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP = ", ".join(f"'{w}'" for w in tx.ENGLISH_STOPWORDS)
+
+
+@query(
+    "text_quality_score",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         length(text) AS n_chars_actual
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+         len(list_filter(toks, w -> w IN ({_STOP}))) * 1.0 / len(toks) AS stop_ratio,
+         least(n_chars_actual / 500.0, 1.0) AS length_credit
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(uniq_ratio, 4) AS unique_ratio,
+       ROUND(stop_ratio, 4) AS stopword_ratio,
+       ROUND(0.4 * length_credit + 0.4 * uniq_ratio
+             + 0.2 * least(stop_ratio * 5, 1.0), 4) AS quality_score
+FROM feat
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_hits_sql() -> str:
+    cols = []
+    for lang, words in sorted(tx.LANG_STOPWORDS.items()):
+        quoted = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"CAST(len(list_filter(string_split(text, ' '), w -> w IN ({quoted}))) AS INT)"
+            f" AS hits_{lang}"
+        )
+    return ",\n       ".join(cols)
+
+
+_LANGS = sorted(tx.LANG_STOPWORDS)
+_BEST = "greatest({})".format(", ".join(f"hits_{lang}" for lang in _LANGS))
+_PRED = "CASE "
+for _lang in _LANGS:
+    _PRED += f"WHEN hits_{_lang} = {_BEST} AND {_BEST} > 0 THEN '{_lang}' "
+_PRED += "ELSE 'und' END"
+
+
+@query(
+    "text_language_id",
+    f"""
+WITH hits AS (SELECT doc_id, {_lang_hits_sql()} FROM documents)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in _LANGS)},
+       {_PRED} AS pred_lang
+FROM hits
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    """
+WITH t AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm
+  FROM documents
+),
+tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+w AS (
+  SELECT doc_id, MIN(md5(array_to_string(toks[i.i:i.i+7], ' '))) AS rolling_min_fp
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS i) i(i)
+  GROUP BY doc_id
+)
+SELECT tk.doc_id, md5(tk.norm) AS doc_md5, w.rolling_min_fp
+FROM tk JOIN w ON tk.doc_id = w.doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS INT) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+_MM_CTE = """
+mm AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CASE WHEN doc_id % 2 = 0 THEN 'raw' ELSE 'compressed' END AS fmt,
+         CAST(n_chars % 640 AS INT) AS width,
+         CAST((doc_id * 7) % 480 AS INT) AS height,
+         CAST(doc_id % 5 + 1 AS INT) AS n_frames,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+"""
+
+
+@query(
+    "mm_metadata_stats",
+    f"""
+WITH {_MM_CTE}
+SELECT modality, fmt, COUNT(*) AS n,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(width), 4) AS avg_width,
+       ROUND(AVG(height), 4) AS avg_height
+FROM mm GROUP BY modality, fmt
+""",
+)
+def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = mm.synthesize_multimodal(load_table(spark, sf_dir, "documents"))
+    return t.groupBy(
+        F.col("meta.modality").alias("modality"), F.col("meta.fmt").alias("fmt")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(F.avg("meta.width"), 4).alias("avg_width"),
+        F.round(F.avg("meta.height"), 4).alias("avg_height"),
+    )
+
+
+@query(
+    "mm_extract_features",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substring(text, 1, 1)) END AS INT)
+         AS first_byte,
+       CAST(octet_length(encode(text)) % 7 AS INT) AS byte_mod
+FROM documents
+""",
+)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = mm.synthesize_multimodal(load_table(spark, sf_dir, "documents"))
+    return mm.extract_features(t)
+
+
+@query(
+    "mm_frame_samples",
+    f"""
+WITH {_MM_CTE}
+SELECT m.doc_id, m.n_frames, CAST(f.frame_idx AS INT) AS frame_idx
+FROM mm m, LATERAL (SELECT unnest(range(0, m.n_frames)) AS frame_idx) f
+WHERE m.modality = 'video' AND f.frame_idx % 2 = 0
+""",
+)
+def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = mm.synthesize_multimodal(load_table(spark, sf_dir, "documents"))
+    return mm.sample_frames(t, every=2)
