@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline set spans every engine surface: TPC-H-shaped join/agg,
+windows, JSON/date functions, the wine reference pipeline (SURVEY.md §2
+Part A end-to-end), and the training-data extensions (dedup, ANN
+similarity, TF-IDF). Each query is fully executed via a count()-free
+collect-to-driver of its (small) result; a warmup run of the flagship
+query first pays JVM/codegen startup so per-query numbers reflect
+steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from whisky_wine_etl_spark import plans  # noqa: E402
+from whisky_wine_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_q5_revenue_by_nation",  # 5-way join + agg (broadcast dims)
+    "q1_pricing_summary",             # wide scan + groupBy agg
+    "join_inner_equi",                # fact-fact shuffle join
+    "topk_per_group",                 # window + filter
+    "window_running_sum",             # running frame over events
+    "func_json_pack",                 # JSON extraction over events.props
+    "wine_pipeline",                  # reference T-1..T-10 end-to-end
+    "dedup_exact",                    # hash-groupBy dedup over documents
+    "dedup_minhash_lsh",              # MinHash+LSH near-dup
+    "sim_topk_bruteforce",            # exact cosine top-k over embeddings
+    "text_tfidf_top_terms",           # tokenize + explode + tf-idf + topk
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    plans.load_all()
+    spark = get_spark(cpus=cpus)
+
+    # warmup: pay session/codegen startup outside the timed region
+    plans.QUERIES[HEADLINE[0]](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        plans.QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

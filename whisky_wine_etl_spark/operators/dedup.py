@@ -110,6 +110,24 @@ def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct xxhash64'd word n-grams per document. Hashing before
+    the distinct keeps every downstream shuffle/join on fixed-width
+    longs instead of variable-length shingle strings — the cheap
+    representation for the approximate (MinHash) path. 64-bit collision
+    odds are ~q²/2⁶⁵ for q distinct shingles (negligible ≤ billions)."""
+    toks = f"split({text_col}, ' ')"
+    expr = (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> xxhash64(array_join(slice({toks}, i, {n}), ' ')))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(expr)).alias("sh_hash")).distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -117,12 +135,15 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 48,
     seed: int = 42,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: base hash = xxhash64(shingle) reduced mod
     p, family h_i = (a_i*h + b_i) mod p. One explode + one groupBy;
-    signature is num_hashes int columns min-aggregated elementwise."""
-    sh = shingles(df, text_col, id_col, n)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    signature is num_hashes int columns min-aggregated elementwise.
+    Pass a precomputed `sh` (from hashed_shingles) to share the scan."""
+    if sh is None:
+        sh = hashed_shingles(df, text_col, id_col, n)
+    h = F.pmod(F.col("sh_hash"), F.lit(MERSENNE31))
     proj = sh.select(
         id_col,
         *[
@@ -151,8 +172,14 @@ def minhash_lsh_pairs(
     With r=3, b=16: P(candidate) = 1-(1-s³)¹⁶ ≈ 0.88 at s=0.5, ≈1.0
     at s≥0.7. The verify step removes false positives, so precision
     is exact; recall is the LSH curve. At 100 TB this touches only
-    bucket-colliding pairs — never the quadratic pair space."""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    bucket-colliding pairs — never the quadratic pair space.
+
+    The hashed-shingle table is computed once and shared by the
+    signature and verification branches (persisted: it is exploded
+    ~L× the corpus size and both branches scan it fully; on a cluster
+    this is a StorageLevel.MEMORY_AND_DISK cache, spillable)."""
+    sh = hashed_shingles(df, text_col, id_col, n).persist()
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, sh=sh)
     n_bands = num_hashes // rows_per_band
     bands = sigs.select(
         id_col,
@@ -182,9 +209,26 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, threshold=0.0, text_col=text_col, id_col=id_col, n=n)
+    # Verify ONLY the candidate pairs: attach each side's shingle-hash
+    # set (bounded by doc length, not corpus size) and compute exact
+    # Jaccard via array_intersect. Work is O(|candidates|), never the
+    # all-pairs inverted-index join — the property that makes LSH the
+    # 100 TB path.
+    doc_sh = sh.groupBy(id_col).agg(F.collect_set("sh_hash").alias("sh_set"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        candidates.join(
+            doc_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            doc_sh.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(n_common / (F.size("sh_a") + F.size("sh_b") - n_common), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
