@@ -1,0 +1,155 @@
+"""Streaming semantics that the DuckDB oracle cannot check:
+micro-batch progression, watermark advancement, late-data drops."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.streaming import pipelines as sp
+
+
+def _write_batch(spark, directory, rows, filename):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(str(directory))
+    # the file stream source orders files by modification time; keep the
+    # write order unambiguous so micro-batch order is deterministic
+    time.sleep(1.1)
+    return df
+
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1). A late row arriving
+    AFTER its window was watermark-evicted is dropped — the append-mode
+    output for that window is final and the state-store metric records
+    the drop. (A late row whose window state still exists merges — the
+    watermark contract finalizes output at eviction, not before.)"""
+    land = tmp_path / "land"
+    land.mkdir()
+    # file 1 → wm after batch 0: 14:05 - 10 min = 13:55
+    _write_batch(
+        spark,
+        land,
+        [
+            (1, _ts(5), 1, "click", 1.0),
+            (2, _ts(25), 1, "click", 1.0),
+            (3, _ts(65), 1, "click", 1.0),
+            (4, _ts(125), 1, "click", 1.0),
+        ],
+        "b1",
+    )
+    # file 2 → processed with wm 13:55: evicts+emits the 12:00 window (n=2)
+    _write_batch(spark, land, [(5, _ts(185), 1, "click", 1.0)], "b2")
+    # file 3: late row for the ALREADY-EVICTED 12:00 window → dropped
+    _write_batch(spark, land, [(6, _ts(10), 1, "click", 1.0)], "b3")
+
+    stream = sp.file_events_stream(spark, str(land), max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("wstart"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    q.stop()
+    final = {(r.wstart, r.n) for r in spark.table("late_test").collect()}
+    assert dropped == 1  # the late row was discarded by the watermark
+    assert (T0, 2) in final  # 12:00 window finalized WITHOUT the late row
+    assert (_ts(60), 1) in final  # 13:00 window evicted at wm 14:55
+    # 14:00/15:00 windows end after the final watermark → still open
+    assert all(w not in (_ts(120), _ts(180)) for w, _ in final)
+
+
+def test_multi_microbatch_matches_single_batch(spark, tmp_path):
+    """Same data split across 3 micro-batches (in time order) produces
+    the same tumbling aggregate as one batch — state carries across
+    triggers."""
+    land = tmp_path / "land2"
+    land.mkdir()
+    rows = [(i, _ts(i * 7), i % 3, "click", float(i)) for i in range(30)]
+    for chunk in (rows[:10], rows[10:20], rows[20:]):
+        _write_batch(spark, land, chunk, "x")
+
+    stream = sp.file_events_stream(spark, str(land), max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        .select(F.col("window.start").alias("wstart"), "n", "sv")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mb_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # ran as 3 separate micro-batches
+    assert len(q.recentProgress) >= 3
+    q.stop()
+    streamed = {(r.wstart, r.n, r.sv) for r in spark.table("mb_test").collect()}
+
+    batch = (
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        .select(F.col("window.start").alias("wstart"), "n", "sv")
+    )
+    assert streamed == {(r.wstart, r.n, r.sv) for r in batch.collect()}
+
+
+def test_streaming_session_merges_across_batches(spark, tmp_path):
+    """A session spanning two micro-batches merges into one window."""
+    land = tmp_path / "land3"
+    land.mkdir()
+    _write_batch(spark, land, [(1, _ts(0), 7, "click", 1.0), (2, _ts(10), 7, "click", 1.0)], "a")
+    _write_batch(spark, land, [(3, _ts(20), 7, "click", 1.0), (4, _ts(300), 7, "click", 1.0)], "b")
+    stream = sp.file_events_stream(spark, str(land), max_files_per_trigger=1)
+    sess = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {(r.s, r.e, r.n) for r in spark.table("sess_test").collect()}
+    assert (T0, _ts(50), 3) in got  # rows 1-3 merged across batches
+    assert (_ts(300), _ts(330), 1) in got

@@ -220,6 +220,44 @@ def join_non_equi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_last_purchase",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS purchase_event_id,
+       r.ts AS purchase_ts,
+       r.value AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §2 Part B 'Join — as-of'): for each error
+    event, the same user's most recent purchase at or before it.
+    DuckDB's native ASOF LEFT JOIN is the oracle; the Spark side is the
+    tagged-union + keyed-window operator (operators/asof.py)."""
+    from whisky_wine_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        left,
+        right,
+        on="ts",
+        by_left="user_id",
+        by_right="user_id",
+        value_cols=["purchase_event_id", "purchase_ts", "purchase_value"],
+    )
+
+
+@query(
     "join_cross_dims",
     """
 SELECT r.r_name, s.status

@@ -1,3 +1,100 @@
-"""Batch twins of the streaming pipelines (filled in by streaming/ work)."""
+"""Streaming pipelines registered as driver-checkable queries.
+
+Each entry RUNS the Structured Streaming pipeline to completion
+(trigger(availableNow=True) → memory sink) and returns the sink as a
+batch DataFrame, so the DuckDB oracle verifies the *streaming* result
+directly — a stronger check than verifying a batch rewrite. The
+pipelines are deterministic: windowed aggregations run in complete
+mode (every closed-and-open window emitted), and the dedup projects
+key columns only, so arrival order cannot leak into values.
+
+SURVEY.md §2 Part B streaming row: watermark + tumbling / sliding /
+session windows, streaming dedup. Late-data-drop semantics are
+exercised in tests/test_streaming.py with a two-file landing dir and
+maxFilesPerTrigger=1 (needs multiple micro-batches, so it cannot be
+oracle-checked here — the contract's rows-only carve-out).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from whisky_wine_etl_spark.plans.registry import query
+from whisky_wine_etl_spark.streaming import pipelines as sp
+
+
+@query(
+    "stream_tumbling_1h",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sp.tumbling_counts(sp.events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, s, "complete")
+
+
+@query(
+    "stream_sliding_1h_30m",
+    """
+WITH s AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS wstart,
+         e.*
+  FROM events e, (SELECT unnest(range(0, 2)) AS k) k(k)
+)
+SELECT wstart,
+       wstart + INTERVAL '1 hour' AS wend,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sp.sliding_counts(sp.events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, s, "complete")
+
+
+@query(
+    "stream_session_30m",
+    """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s
+GROUP BY user_id, sess
+""",
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sp.session_stats(sp.events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, s, "complete")
+
+
+@query(
+    "stream_distinct_user_event",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_distinct_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sp.distinct_user_event(sp.events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, s, "append")
