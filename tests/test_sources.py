@@ -1,0 +1,93 @@
+"""Source/sink round-trips (SURVEY.md §2 S-2…S-5).
+
+The JDBC test runs against the Derby embedded driver that ships with
+Spark (no server needed) — a real end-to-end
+create/append/read-back through the JDBC code path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.sources import io as sio
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text", "n_chars")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _docs(spark).limit(100)
+    path = str(tmp_path / "csv_out")
+    sio.write_csv(df, path)
+    back = sio.read_csv(spark, path, schema="doc_id bigint, text string, n_chars bigint")
+    assert back.count() == 100
+    assert back.schema == df.schema
+    assert back.agg(F.sum("n_chars")).first()[0] == df.agg(F.sum("n_chars")).first()[0]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = _docs(spark).limit(100)
+    path = str(tmp_path / "json_out")
+    sio.write_json(df, path)
+    back = sio.read_json(spark, path, schema="doc_id bigint, text string, n_chars bigint")
+    assert back.count() == 100
+    assert back.agg(F.sum("doc_id")).first()[0] == df.agg(F.sum("doc_id")).first()[0]
+
+
+def test_json_array_multiline(spark, tmp_path):
+    """The reference's input shape: ONE file holding a JSON array
+    (pd.read_json semantics, wine_etl_kaggle.py:69)."""
+    p = tmp_path / "arr.json"
+    p.write_text('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}, {"a": 3, "b": null}]')
+    df = sio.read_json(spark, str(p), schema="a bigint, b string", multi_line=True)
+    assert df.count() == 3
+    assert df.filter(F.col("b").isNull()).count() == 1
+
+
+def test_parquet_partitioned_write_prunes(spark, tmp_path):
+    df = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_pq")
+    sio.write_parquet(df, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    # partition pruning: the physical plan must carry the partition filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    expected = df.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+
+
+def test_jdbc_append_roundtrip_derby(spark, tmp_path):
+    """S-5 end-to-end over Derby embedded: create+append with the
+    reference's column type map, read back, append again (if_exists=
+    'append' parity), verify the doubled row count."""
+    db = tmp_path / "derbydb"
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    wine = spark.createDataFrame(
+        [(90, "title one", "a description", 12.5, "cheap", "US", 1),
+         (85, "title two", "another desc", 55.0, "midrange", "France", 0)],
+        "points int, title string, description string, price double,"
+        " price_category string, country string, country_code int",
+    )
+    sio.write_jdbc_append(
+        wine, url, "wine_data", driver=driver,
+        column_types=sio.WINE_JDBC_COLUMN_TYPES, num_partitions=1,
+    )
+    back = sio.read_jdbc(spark, url, "wine_data", driver=driver)
+    assert back.count() == 2
+    sio.write_jdbc_append(wine, url, "wine_data", driver=driver, num_partitions=1)
+    assert sio.read_jdbc(spark, url, "wine_data", driver=driver).count() == 4
+    got = {r.country: r.points for r in back.collect()}
+    assert got == {"US": 90, "France": 85}
+
+
+def test_jdbc_column_types_clause():
+    clause = sio.column_types_clause(
+        sio.WINE_JDBC_COLUMN_TYPES, ["points", "unknown_col", "price_category"]
+    )
+    assert clause == "points INTEGER, price_category VARCHAR(50)"

@@ -25,38 +25,37 @@ def _viol(cond) -> F.Column:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
 
+def validation_checks() -> list[tuple[str, F.Column]]:
+    """(name, aggregate-Column) pairs — consumable by .agg() for a
+    standalone report or by .observe() to piggyback on a sink action.
+    Built lazily: Column construction needs an active SparkContext."""
+    c = F.col
+    return [
+        # points: Int, in_range(50, 100), nullable=False (ref :106-111)
+        ("points_null", _viol(c("points").isNull())),
+        ("points_out_of_range", _viol(c("points").isNotNull() & ~c("points").between(50, 100))),
+        # title: str_length(3, 200), nullable=True (ref :112-117)
+        ("title_bad_length", _viol(c("title").isNotNull() & ~F.length("title").between(3, 200))),
+        # description: str_length(min=10), nullable=True (ref :118-122)
+        ("description_too_short", _viol(c("description").isNotNull() & (F.length("description") < 10))),
+        # price: ge(0), nullable=True (ref :130-135)
+        ("price_negative", _viol(c("price").isNotNull() & (c("price") < 0))),
+        # country: isin(8 countries), nullable=False (ref :141-145)
+        ("country_null", _viol(c("country").isNull())),
+        ("country_not_allowed", _viol(c("country").isNotNull() & ~c("country").isin(ALLOWED_COUNTRIES))),
+        # derived columns: ge(0) / nullable=False (ref :147-151)
+        ("title_length_negative", _viol(c("title_length") < 0)),
+        ("description_length_negative", _viol(c("description_length") < 0)),
+        ("price_category_null", _viol(c("price_category").isNull())),
+        ("region_null", _viol(c("region").isNull())),
+        ("country_code_null", _viol(c("country_code").isNull())),
+    ]
+
+
 def validation_report(df: DataFrame) -> DataFrame:
     """Violation counts for every pandera check in the reference schema.
 
     Input: the transformed wine DataFrame (post wine_transform).
     Output: a single row of counters, 0 = check passed everywhere.
     """
-    c = F.col
-    return df.agg(
-        # points: Int, in_range(50, 100), nullable=False (ref :106-111)
-        _viol(c("points").isNull()).alias("points_null"),
-        _viol(c("points").isNotNull() & ~c("points").between(50, 100)).alias(
-            "points_out_of_range"
-        ),
-        # title: str_length(3, 200), nullable=True (ref :112-117)
-        _viol(
-            c("title").isNotNull() & ~F.length("title").between(3, 200)
-        ).alias("title_bad_length"),
-        # description: str_length(min=10), nullable=True (ref :118-122)
-        _viol(c("description").isNotNull() & (F.length("description") < 10)).alias(
-            "description_too_short"
-        ),
-        # price: ge(0), nullable=True (ref :130-135)
-        _viol(c("price").isNotNull() & (c("price") < 0)).alias("price_negative"),
-        # country: isin(8 countries), nullable=False (ref :141-145)
-        _viol(c("country").isNull()).alias("country_null"),
-        _viol(c("country").isNotNull() & ~c("country").isin(ALLOWED_COUNTRIES)).alias(
-            "country_not_allowed"
-        ),
-        # derived columns: ge(0) / nullable=False (ref :147-151)
-        _viol(c("title_length") < 0).alias("title_length_negative"),
-        _viol(c("description_length") < 0).alias("description_length_negative"),
-        _viol(c("price_category").isNull()).alias("price_category_null"),
-        _viol(c("region").isNull()).alias("region_null"),
-        _viol(c("country_code").isNull()).alias("country_code_null"),
-    )
+    return df.agg(*[expr.alias(name) for name, expr in validation_checks()])

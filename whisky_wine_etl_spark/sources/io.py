@@ -1,0 +1,170 @@
+"""Sources & sinks (SURVEY.md §2 S-2…S-5), Spark-native.
+
+The reference's I/O surface is: a whole-file JSON array scan, CSV
+scan/write between tasks, and a SQLAlchemy `to_sql` append into
+Postgres with an explicit column→SQL-type map
+(`/root/reference/dags/wine_etl_kaggle.py:69,92-102,167-204`). Here
+those become schema-explicit `spark.read` calls (never inference at
+scale — one schema mistake on 100 TB is a full re-read) and
+`DataFrameWriter` sinks:
+
+- JSON:   `multiLine` for the reference's array-of-objects file shape;
+  line-delimited (the scalable default) otherwise. A JSON-array file
+  is NOT splittable — one task per file — so landing pipelines should
+  prefer JSONL; both are supported.
+- CSV:    header on, explicit schema on read.
+- JDBC:   `.write.jdbc(mode="append")` with `createTableColumnTypes`
+  mirroring the reference's type map verbatim; `batchsize` and
+  `numPartitions` replace pandas' row-at-a-time INSERTs.
+- Parquet: the engine-managed format — columnar, splittable,
+  predicate-pushdown-able; `partitionBy` for layout pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Reference parity: dtype_mapping at wine_etl_kaggle.py:175-194,
+# rendered as Spark JDBC createTableColumnTypes (same SQL types).
+WINE_JDBC_COLUMN_TYPES: dict[str, str] = {
+    "points": "INTEGER",
+    "title": "VARCHAR(255)",
+    # reference uses SQLAlchemy Text; createTableColumnTypes values must
+    # parse as Spark DDL, and STRING renders as TEXT on the Postgres
+    # dialect (CLOB on Derby) — same storage semantics
+    "description": "STRING",
+    "taster_name": "VARCHAR(255)",
+    "taster_twitter_handle": "VARCHAR(255)",
+    "price": "FLOAT",
+    "designation": "VARCHAR(255)",
+    "variety": "VARCHAR(255)",
+    "region_1": "VARCHAR(255)",
+    "region_2": "VARCHAR(255)",
+    "province": "VARCHAR(255)",
+    "country": "VARCHAR(255)",
+    "winery": "VARCHAR(255)",
+    "title_length": "INTEGER",
+    "description_length": "INTEGER",
+    "price_category": "VARCHAR(50)",
+    "region": "VARCHAR(255)",
+    "country_code": "SMALLINT",
+}
+
+
+def column_types_clause(type_map: dict[str, str], columns: list[str]) -> str:
+    """Render createTableColumnTypes for the columns actually present
+    (order-preserving; unknown columns fall back to Spark's default
+    JDBC mapping by omission)."""
+    return ", ".join(f"{c} {type_map[c]}" for c in columns if c in type_map)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multi_line: bool = False,
+) -> DataFrame:
+    """S-2: JSON scan. multi_line=True for a whole-file JSON array
+    (the reference's Kaggle download shape; unsplittable), False for
+    line-delimited JSON (splittable — the at-scale landing format)."""
+    reader = spark.read.option("multiLine", str(multi_line).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str | None = None, header: bool = True
+) -> DataFrame:
+    """S-3: CSV scan, schema-explicit (inference = an extra full pass)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S-4: CSV sink with header (reference: to_csv(index=False))."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (splittable re-ingest format)."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Engine-managed table sink. partition_by gives directory-level
+    partition pruning on later scans — the 100 TB layout lever."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    column_types: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S-5: JDBC append sink.
+
+    Replaces the reference's row-at-a-time `to_sql` with Spark's
+    batched, partition-parallel JDBC writer: each of `num_partitions`
+    tasks opens one connection and executes `batchsize`-row inserts.
+    `column_types` ↦ createTableColumnTypes (reference dtype map)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    if column_types:
+        writer = writer.option(
+            "createTableColumnTypes", column_types_clause(column_types, df.columns)
+        )
+    if num_partitions:
+        writer = writer.option("numPartitions", str(num_partitions))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC source; with partition_column bounds, Spark issues
+    range-partitioned parallel reads instead of one serial cursor."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 4))
+        )
+    return reader.load()
