@@ -52,13 +52,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document (explode once)."""
-    toks = f"split({text_col}, ' ')"
+    """Distinct word n-gram shingles per document (explode once).
+
+    The token array is materialized ONCE per row before the
+    higher-order transform — inlining split() into the lambda makes
+    Spark re-split the text for every shingle position (O(tokens²))."""
     expr = (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> array_join(slice(__toks, i, {n}), ' '))"
     )
-    return df.select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle")).distinct()
+    return (
+        df.select(F.col(id_col), F.split(text_col, " ").alias("__toks"))
+        .select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -110,22 +117,21 @@ def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def hashed_shingles(
+def shingle_hash_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct xxhash64'd word n-grams per document. Hashing before
-    the distinct keeps every downstream shuffle/join on fixed-width
-    longs instead of variable-length shingle strings — the cheap
-    representation for the approximate (MinHash) path. 64-bit collision
-    odds are ~q²/2⁶⁵ for q distinct shingles (negligible ≤ billions)."""
-    toks = f"split({text_col}, ' ')"
+    """Per-document array of distinct xxhash64'd word n-grams — a
+    NARROW transformation (no explode, no shuffle): every downstream
+    MinHash/verification step works on this fixed-width long array.
+    64-bit collision odds are ~q²/2⁶⁵ for q distinct shingles
+    (negligible ≤ billions)."""
     expr = (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> xxhash64(array_join(slice({toks}, i, {n}), ' ')))"
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> xxhash64(array_join(slice(__toks, i, {n}), ' '))))"
     )
-    return (
-        df.select(F.col(id_col), F.explode(F.expr(expr)).alias("sh_hash")).distinct()
-    )
+    return df.select(
+        F.col(id_col), F.split(text_col, " ").alias("__toks")
+    ).select(F.col(id_col), F.expr(expr).alias("sh_arr"))
 
 
 def minhash_signatures(
@@ -138,21 +144,26 @@ def minhash_signatures(
     sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: base hash = xxhash64(shingle) reduced mod
-    p, family h_i = (a_i*h + b_i) mod p. One explode + one groupBy;
-    signature is num_hashes int columns min-aggregated elementwise.
-    Pass a precomputed `sh` (from hashed_shingles) to share the scan."""
+    p, family h_i = (a_i*h + b_i) mod p; signature element i =
+    min over the doc's shingle set.
+
+    Computed entirely as per-row array expressions
+    (array_min ∘ transform) over shingle_hash_arrays — a NARROW map
+    with zero shuffles, vs the classic explode → groupBy(min×k)
+    formulation whose shuffle carries |shingles|×k rows. Pass a
+    precomputed `sh` to share the scan with other branches."""
     if sh is None:
-        sh = hashed_shingles(df, text_col, id_col, n)
-    h = F.pmod(F.col("sh_hash"), F.lit(MERSENNE31))
-    proj = sh.select(
+        sh = shingle_hash_arrays(df, text_col, id_col, n)
+    # reduce the 64-bit base hash mod p once, reuse for every h_i
+    reduced = sh.withColumn("__hp", F.expr(f"transform(sh_arr, h -> pmod(h, {MERSENNE31}L))"))
+    return reduced.select(
         id_col,
         *[
-            F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)).alias(f"mh_{i}")
+            F.expr(
+                f"array_min(transform(__hp, h -> pmod({a}L * h + {b}L, {MERSENNE31}L)))"
+            ).alias(f"mh_{i}")
             for i, (a, b) in enumerate(_hash_family(num_hashes, seed))
         ],
-    )
-    return proj.groupBy(id_col).agg(
-        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
     )
 
 
@@ -174,11 +185,11 @@ def minhash_lsh_pairs(
     is exact; recall is the LSH curve. At 100 TB this touches only
     bucket-colliding pairs — never the quadratic pair space.
 
-    The hashed-shingle table is computed once and shared by the
-    signature and verification branches (persisted: it is exploded
-    ~L× the corpus size and both branches scan it fully; on a cluster
-    this is a StorageLevel.MEMORY_AND_DISK cache, spillable)."""
-    sh = hashed_shingles(df, text_col, id_col, n).persist()
+    The per-doc shingle-hash array is computed once (narrow, no
+    shuffle) and shared by the signature and verification branches
+    (persisted so the text isn't re-shingled; MEMORY_AND_DISK,
+    spillable)."""
+    sh = shingle_hash_arrays(df, text_col, id_col, n).persist()
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, sh=sh)
     n_bands = num_hashes // rows_per_band
     bands = sigs.select(
@@ -210,19 +221,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify ONLY the candidate pairs: attach each side's shingle-hash
-    # set (bounded by doc length, not corpus size) and compute exact
+    # array (bounded by doc length, not corpus size) and compute exact
     # Jaccard via array_intersect. Work is O(|candidates|), never the
     # all-pairs inverted-index join — the property that makes LSH the
     # 100 TB path.
-    doc_sh = sh.groupBy(id_col).agg(F.collect_set("sh_hash").alias("sh_set"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         candidates.join(
-            doc_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a")),
+            sh.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("sh_a")),
             "doc_a",
         )
         .join(
-            doc_sh.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b")),
+            sh.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("sh_b")),
             "doc_b",
         )
         .withColumn(
