@@ -104,18 +104,42 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text, plus a coarse rolling fingerprint (min md5 over 8-token
-    windows — a winnowing-style representative for near-dup blocking)."""
+    windows — a winnowing-style representative for near-dup blocking).
+    Normalized text + token array are materialized once per row so the
+    window transform doesn't re-normalize per position."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), " +", " ")))
-    toks = F.split(norm, " ")
     windows = F.expr(
-        "transform(sequence(1, greatest(size(split(lower(trim(regexp_replace("
-        f"{text_col}, ' +', ' '))), ' ')) - 7, 1)), "
-        f"i -> md5(array_join(slice(split(lower(trim(regexp_replace({text_col}, ' +', ' '))), ' '), i, 8), ' ')))"
+        "transform(sequence(1, greatest(size(__toks) - 7, 1)), "
+        "i -> md5(array_join(slice(__toks, i, 8), ' ')))"
     )
     return df.select(
+        id_col, norm.alias("__norm"), F.split(norm, " ").alias("__toks")
+    ).select(
         id_col,
-        F.md5(norm).alias("doc_md5"),
+        F.md5("__norm").alias("doc_md5"),
         F.array_min(windows).alias("rolling_min_fp"),
+    )
+
+
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def regex_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish regex token counting: alpha runs, digit runs, and
+    single non-alnum marks each count as one token (the classic
+    pre-tokenizer shape). Pattern kept in the RE2∩Java-regex common
+    subset so the DuckDB oracle computes the identical split."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)")
+    return df.select(
+        id_col,
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z]+', 0)"))
+        .cast("int")
+        .alias("n_alpha_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[0-9]+', 0)"))
+        .cast("int")
+        .alias("n_numeric_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_bpe_tokens"),
     )
 
 

@@ -263,3 +263,19 @@ WHERE m.modality = 'video' AND f.frame_idx % 2 = 0
 def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = mm.synthesize_multimodal(load_table(spark, sf_dir, "documents"))
     return mm.sample_frames(t, every=2)
+
+
+@query(
+    "text_regex_tokens",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS INT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INT) AS n_alpha_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numeric_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))) AS INT)
+         AS n_unique_bpe_tokens
+FROM documents
+""",
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.regex_tokens(load_table(spark, sf_dir, "documents"))

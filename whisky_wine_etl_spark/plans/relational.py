@@ -714,3 +714,124 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2))
     )
     return pv.select("l_returnflag", F.col("O"), F.col("F"))
+
+
+@query(
+    "agg_salted_skew",
+    """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(MAX(l_discount), 2) AS max_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/agg.py): 3 group keys
+    over 600 k rows is exactly the value-skew shape where one reducer
+    owns a third of the table; salting spreads each hot key across 16
+    sub-keys, then merges 48 partial rows. Results are identical to
+    the plain groupBy — the oracle proves it."""
+    from whisky_wine_etl_spark.operators.agg import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_price": ("sum", "l_extendedprice"),
+            "n": ("count", "*"),
+            "avg_qty": ("avg", "l_quantity"),
+            "max_disc": ("max", "l_discount"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_price", 2).alias("sum_price"),
+        "n",
+        F.round("avg_qty", 6).alias("avg_qty"),
+        F.round("max_disc", 2).alias("max_disc"),
+    )
+
+
+_CORRELATED_SQL = """
+SELECT c.c_custkey, c.c_nationkey, ROUND(c.c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal)
+                     FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@query("sql_correlated_subquery", _CORRELATED_SQL)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface with a correlated scalar subquery —
+    Catalyst decorrelates it into an aggregate + join (no per-row
+    re-execution; the same text runs on DuckDB as the oracle)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_CORRELATED_SQL)
+
+
+@query(
+    "func_array_pack",
+    """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(SQRT(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val,
+       ROUND(list_aggregate(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE)), 'sum'), 4) AS head8_sum
+FROM embeddings
+""",
+)
+def func_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function pack over the embedding column: size, aggregate
+    (fold), transform, array_min/max, slice — the building blocks the
+    similarity operators compose."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    sq = F.aggregate(
+        F.expr("transform(embedding, x -> cast(x as double) * cast(x as double))"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(sq), 4).alias("l2_norm"),
+        F.round(F.array_max(v), 4).alias("max_val"),
+        F.round(F.array_min(v), 4).alias("min_val"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head8_sum"),
+    )
+
+
+@query(
+    "func_map_pack",
+    """
+SELECT event_id,
+       json_keys(props)[1] AS first_key,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       json_extract(props, '$.k') IS NOT NULL AS has_k
+FROM events
+""",
+)
+def func_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function pack: parse events.props into map<string,int>,
+    then map_keys / element_at / size / map_contains_key."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("first_key"),
+        m.getItem("k").alias("k_value"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
