@@ -48,3 +48,15 @@ def test_exact_dedup_collapses_duplicates(spark):
     out = dd.exact_dedup(doubled)
     assert out.count() == 10
     assert out.agg(F.max("n_copies")).first()[0] == 2
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = sim.brute_force_topk(emb, queries, k=5).collect()
+    ivf = sim.ivf_topk(emb, queries, k=5).collect()
+    bf_set = {(r.query_id, r.cand_id) for r in bf}
+    ivf_set = {(r.query_id, r.cand_id) for r in ivf}
+    # n_probe=4 of 16 lists on near-random vectors: moderate recall
+    assert len(ivf_set & bf_set) >= 0.3 * len(bf_set)
+    assert len({r.query_id for r in ivf}) == len({r.query_id for r in bf})

@@ -153,3 +153,35 @@ def test_streaming_session_merges_across_batches(spark, tmp_path):
     got = {(r.s, r.e, r.n) for r in spark.table("sess_test").collect()}
     assert (T0, _ts(50), 3) in got  # rows 1-3 merged across batches
     assert (_ts(300), _ts(330), 1) in got
+
+
+def test_stateful_anomalies_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the running mean accumulated in batch 1
+    must drive anomaly decisions in batch 2."""
+    from whisky_wine_etl_spark.streaming.stateful import running_anomalies
+
+    land = tmp_path / "land4"
+    land.mkdir()
+    # batch 1: user 7 mean settles at 10.0
+    _write_batch(spark, land, [(1, _ts(0), 7, "c", 10.0), (2, _ts(1), 7, "c", 10.0)], "a")
+    # batch 2: 25.0 > 2×10 → anomalous; 12.0 is not; user 8's first row
+    # has no prior mean → never anomalous
+    _write_batch(
+        spark, land,
+        [(3, _ts(2), 7, "c", 25.0), (4, _ts(3), 7, "c", 12.0), (5, _ts(4), 8, "c", 99.0)],
+        "b",
+    )
+    stream = sp.file_events_stream(spark, str(land), max_files_per_trigger=1)
+    q = (
+        running_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 2
+    q.stop()
+    got = {r.event_id: r.anomalous for r in spark.table("stateful_test").collect()}
+    assert got == {1: False, 2: False, 3: True, 4: False, 5: False}

@@ -51,6 +51,94 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index, all DataFrame ops.
+
+    Build: n_lists centroids trained with `kmeans_iters` Lloyd
+    iterations (deterministic init = lowest-id vectors; assignment is
+    a broadcast cross-join argmin; the centroid update is an exploded
+    per-dimension mean). Search: each query probes its `n_probe`
+    nearest centroids and re-ranks exactly within those lists only.
+
+    Scale shape: centroids are O(n_lists·dim) — always broadcast; the
+    corpus is scanned once per Lloyd iteration and once to build the
+    final assignment (at 100 TB: train on a sample instead, same
+    code); a query touches ~n_probe/n_lists of the corpus. No
+    quadratic stage anywhere."""
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+
+    def as_centroid_df(rows: list[tuple[int, list[float]]]) -> DataFrame:
+        return spark.createDataFrame(rows, "list_id int, centroid array<double>")
+
+    # deterministic init: the n_lists lowest-id vectors. Collecting
+    # centroids to the driver each iteration is k·dim values (bounded
+    # by the index config, never data-sized) — the same driver loop
+    # MLlib's KMeans runs; it keeps every iteration a single flat job
+    # instead of a growing lineage.
+    init = (
+        corpus.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"))
+        .collect()
+    )
+    centroids = as_centroid_df([(i + 1, list(r.v)) for i, r in enumerate(init)])
+
+    def nearest(df: DataFrame, vec: str, cents: DataFrame, rank: int) -> DataFrame:
+        """rows × centroids → the `rank` nearest list_ids per row."""
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim", cosine(F.col(vec), F.col("centroid"))
+        )
+        w = W.partitionBy(df.columns[0]).orderBy(F.col("__sim").desc(), F.col("list_id"))
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= rank)
+            .drop("__sim", "__rk", "centroid")
+        )
+
+    for _ in range(kmeans_iters):
+        assigned = nearest(c, "cand_vec", centroids, 1)
+        updated = (
+            assigned.select("list_id", F.posexplode("cand_vec").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.expr("transform(pm, s -> s.m)").alias("centroid"))
+            .collect()
+        )
+        centroids = as_centroid_df([(r.list_id, list(r.centroid)) for r in updated])
+
+    inverted = nearest(c, "cand_vec", centroids, 1)  # corpus → its list
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    probes = nearest(q, "query_vec", centroids, n_probe)
+    scored = (
+        inverted.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", F.round("cos_sim", 4).alias("cos_sim"), "rk")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

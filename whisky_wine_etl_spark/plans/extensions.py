@@ -279,3 +279,10 @@ FROM documents
 )
 def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.regex_tokens(load_table(spark, sf_dir, "documents"))
+
+
+@query("sim_topk_ivf")  # ANN recall is probabilistic → rows-only driver check
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(emb, queries, k=5)

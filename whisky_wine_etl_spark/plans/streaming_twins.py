@@ -98,3 +98,30 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_distinct_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sp.distinct_user_event(sp.events_stream(spark, sf_dir))
     return sp.run_to_memory(spark, s, "append")
+
+
+@query(
+    "stream_stateful_anomalies",
+    """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_avg
+  FROM events
+)
+SELECT user_id, event_id, value,
+       COALESCE(prior_avg IS NOT NULL AND value > 2.0 * prior_avg, FALSE) AS anomalous
+FROM w
+""",
+)
+def stream_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running-mean anomaly flags. Single-batch input makes the streaming
+    result equal the event-time window computation, so the DuckDB
+    oracle verifies the custom state logic exactly; cross-batch state
+    carry is tested in tests/test_streaming.py."""
+    from whisky_wine_etl_spark.streaming.stateful import running_anomalies
+
+    s = running_anomalies(sp.events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, s, "append")
