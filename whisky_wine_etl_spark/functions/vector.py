@@ -8,6 +8,8 @@ and matches the DuckDB oracle's unnest+SUM formulation to ~1e-15.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -27,3 +29,22 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pandas_udf():
+    """Arrow-vectorized cosine as a @pandas_udf — the alternative path
+    when an expression genuinely can't stay JVM-side (here it can; this
+    exists to pin the Arrow batch shape and prove numeric parity with
+    the built-in formulation — the same DuckDB oracle checks both).
+    NumPy evaluates per Arrow batch (~10k rows), never per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy()).astype(np.float64)
+        bm = np.stack(b.to_numpy()).astype(np.float64)
+        num = (am * bm).sum(axis=1)
+        den = np.sqrt((am * am).sum(axis=1)) * np.sqrt((bm * bm).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos

@@ -286,3 +286,41 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return sim.ivf_topk(emb, queries, k=5)
+
+
+@query(
+    "sim_topk_pandas_udf",
+    f"""
+WITH {_COS_SCORED}
+SELECT query_id, cand_id, ROUND(cos6, 4) AS cos_sim, rk
+FROM ranked WHERE rk <= 5
+""",
+)
+def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k with the cosine computed by an Arrow-batched
+    @pandas_udf instead of the JVM zip_with/aggregate fold — SAME
+    oracle as sim_topk_bruteforce, proving the two paths agree to the
+    rounded digit. NumPy summation order matches the fold (axis-1
+    left-to-right), so the doubles agree bit-for-bit in practice."""
+    from pyspark.sql import Window as W
+    from whisky_wine_etl_spark.functions.vector import cosine_pandas_udf
+
+    cos = cosine_pandas_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos6")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", F.round("cos6", 4).alias("cos_sim"), "rk")
+    )

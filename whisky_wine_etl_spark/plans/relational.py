@@ -835,3 +835,56 @@ def func_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).cast("int").alias("n_keys"),
         F.map_contains_key(m, "k").alias("has_k"),
     )
+
+
+@query(
+    "setop_union_all",
+    """
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < -900
+""",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.unionAll(b)
+
+
+@query(
+    "setop_except_all",
+    """
+SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 49
+EXCEPT ALL
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 49
+""",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference — keeps duplicate multiplicity, unlike
+    EXCEPT (distinct); Spark's exceptAll ≡ SQL EXCEPT ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 49).select(F.col("l_orderkey").alias("okey"))
+    b = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 49))
+        .select(F.col("l_orderkey").alias("okey"))
+    )
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_intersect_all",
+    """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
