@@ -28,13 +28,17 @@ HEADLINE = [
     "flagship_q5_revenue_by_nation",  # 5-way join + agg (broadcast dims)
     "q1_pricing_summary",             # wide scan + groupBy agg
     "join_inner_equi",                # fact-fact shuffle join
+    "join_asof_last_purchase",        # as-of join (union + keyed window)
+    "agg_salted_skew",                # two-stage salted aggregation
     "topk_per_group",                 # window + filter
     "window_running_sum",             # running frame over events
     "func_json_pack",                 # JSON extraction over events.props
     "wine_pipeline",                  # reference T-1..T-10 end-to-end
+    "stream_tumbling_1h",             # Structured Streaming windowed agg
     "dedup_exact",                    # hash-groupBy dedup over documents
     "dedup_minhash_lsh",              # MinHash+LSH near-dup
     "sim_topk_bruteforce",            # exact cosine top-k over embeddings
+    "sim_topk_ivf",                   # IVF ANN index build + probe
     "text_tfidf_top_terms",           # tokenize + explode + tf-idf + topk
 ]
 

@@ -74,41 +74,60 @@ def ivf_topk(
     final assignment (at 100 TB: train on a sample instead, same
     code); a query touches ~n_probe/n_lists of the corpus. No
     quadratic stage anywhere."""
-    spark = corpus.sparkSession
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
 
-    def as_centroid_df(rows: list[tuple[int, list[float]]]) -> DataFrame:
-        return spark.createDataFrame(rows, "list_id int, centroid array<double>")
-
-    # deterministic init: the n_lists lowest-id vectors. Collecting
-    # centroids to the driver each iteration is k·dim values (bounded
-    # by the index config, never data-sized) — the same driver loop
-    # MLlib's KMeans runs; it keeps every iteration a single flat job
-    # instead of a growing lineage.
+    # Centroids live on the driver between iterations — k·dim values,
+    # bounded by the index config, never data-sized (MLlib's KMeans
+    # keeps the same driver loop). Embedding them as LITERAL arrays
+    # makes both assignment and probing pure narrow expressions: each
+    # Lloyd iteration is one scan + one tiny (n_lists×dim)-row
+    # aggregate, with no crossJoin, no per-row window, no shuffle of
+    # the corpus — the shape that survives a 100 TB corpus (where
+    # training would run on a sample through this same code).
     init = (
         corpus.orderBy(id_col)
         .limit(n_lists)
         .select(F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"))
         .collect()
     )
-    centroids = as_centroid_df([(i + 1, list(r.v)) for i, r in enumerate(init)])
+    centroids: list[tuple[int, list[float]]] = [
+        (i + 1, list(r.v)) for i, r in enumerate(init)
+    ]
 
-    def nearest(df: DataFrame, vec: str, cents: DataFrame, rank: int) -> DataFrame:
-        """rows × centroids → the `rank` nearest list_ids per row."""
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "__sim", cosine(F.col(vec), F.col("centroid"))
+    def with_sims(df: DataFrame, vec: str) -> DataFrame:
+        """Attach __sims: array<struct<sim,list_id>> of the row's cosine
+        to every centroid. Built as ONE parsed SQL string — composing
+        n_lists×dim literals through the Python Column API would cost a
+        py4j round-trip per literal and dominate planning time. The
+        centroid norms are plain Python constants folded into the text."""
+        import math
+
+        df2 = df.withColumn(
+            "__vd", F.expr(f"transform({vec}, x -> cast(x as double))")
+        ).withColumn(
+            "__vnorm",
+            F.expr("sqrt(aggregate(transform(__vd, x -> x*x), 0.0D, (a, x) -> a+x))"),
         )
-        w = W.partitionBy(df.columns[0]).orderBy(F.col("__sim").desc(), F.col("list_id"))
-        return (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= rank)
-            .drop("__sim", "__rk", "centroid")
-        )
+        parts = []
+        for lid, cv in centroids:
+            arr = ",".join(repr(x) + "D" for x in cv)
+            cnorm = math.sqrt(sum(x * x for x in cv)) or 1.0
+            parts.append(
+                f"named_struct('sim', aggregate(zip_with(__vd, array({arr}),"
+                f" (x, y) -> x*y), 0.0D, (a, x) -> a+x) / (__vnorm * {cnorm!r}D),"
+                f" 'list_id', {lid})"
+            )
+        return df2.withColumn("__sims", F.expr("array(" + ",".join(parts) + ")"))
+
+    # struct max is lexicographic on (sim, list_id): argmax cosine,
+    # deterministic tie-break on the higher list id
+    nearest_one = "array_max(__sims).list_id"
 
     for _ in range(kmeans_iters):
-        assigned = nearest(c, "cand_vec", centroids, 1)
         updated = (
-            assigned.select("list_id", F.posexplode("cand_vec").alias("pos", "val"))
+            with_sims(c, "cand_vec")
+            .select(F.expr(nearest_one).alias("list_id"), "cand_vec")
+            .select("list_id", F.posexplode("cand_vec").alias("pos", "val"))
             .groupBy("list_id", "pos")
             .agg(F.avg("val").alias("m"))
             .groupBy("list_id")
@@ -116,11 +135,21 @@ def ivf_topk(
             .select("list_id", F.expr("transform(pm, s -> s.m)").alias("centroid"))
             .collect()
         )
-        centroids = as_centroid_df([(r.list_id, list(r.centroid)) for r in updated])
+        centroids = [(r.list_id, list(r.centroid)) for r in updated]
 
-    inverted = nearest(c, "cand_vec", centroids, 1)  # corpus → its list
+    inverted = with_sims(c, "cand_vec").select(
+        "cand_id", "cand_vec", F.expr(nearest_one).alias("list_id")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
-    probes = nearest(q, "query_vec", centroids, n_probe)
+    probes = with_sims(q, "query_vec").select(
+        "query_id",
+        "query_vec",
+        F.explode(
+            F.expr(
+                f"transform(slice(reverse(array_sort(__sims)), 1, {n_probe}), s -> s.list_id)"
+            )
+        ).alias("list_id"),
+    )
     scored = (
         inverted.join(F.broadcast(probes), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
