@@ -888,3 +888,62 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
     return a.intersectAll(b)
+
+
+@query(
+    "unpivot_order_measures",
+    """
+SELECT o_orderkey, measure, ROUND(val, 2) AS val
+FROM (SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price,
+             CAST(o_custkey AS DOUBLE) AS cust_key
+      FROM orders WHERE o_totalprice > 450000)
+UNPIVOT (val FOR measure IN (total_price, cust_key))
+""",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): one row per (orderkey, measure)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.col("o_custkey").cast("double").alias("cust_key"),
+        )
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "cust_key"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).select("o_orderkey", "measure", F.round("val", 2).alias("val"))
+
+
+@query(
+    "agg_mode_percentile_cont",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.75)
+             - quantile_cont(l_extendedprice, 0.25), 4) AS iqr,
+       CAST(min(l_linenumber) AS INT) AS min_line
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_mode_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (interpolated) per group — Spark's
+    percentile() is the exact sort-based aggregate; percentile_approx
+    is the documented 100 TB escape hatch (rows-only checkable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(
+            F.percentile("l_extendedprice", F.lit(0.75))
+            - F.percentile("l_extendedprice", F.lit(0.25)),
+            4,
+        ).alias("iqr"),
+        F.min("l_linenumber").cast("int").alias("min_line"),
+    )
