@@ -947,3 +947,74 @@ def agg_mode_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("iqr"),
         F.min("l_linenumber").cast("int").alias("min_line"),
     )
+
+
+@query(
+    "window_range_frame_1h",
+    """
+WITH e AS (SELECT user_id, value, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           FROM events)
+SELECT user_id, ts_sec, ROUND(value, 2) AS value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       ROUND(SUM(value) OVER w, 4) AS sum_last_hour
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event-time seconds: per user, the rolling
+    1-hour count/sum ending at each event — a range (value-based)
+    frame, not a rows frame; both engines order on integer epoch
+    seconds so the frame contents match exactly."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "value", F.col("ts").cast("long").alias("ts_sec")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "ts_sec",
+        F.round("value", 2).alias("value"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+    )
+
+
+@query(
+    "window_first_nth_value",
+    """
+SELECT event_id, user_id,
+       ROUND(FIRST_VALUE(value) OVER w, 2) AS first_val,
+       ROUND(NTH_VALUE(value, 3) OVER w, 2) AS third_val,
+       ROUND(LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def window_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/nth/last_value navigation with explicit ROWS frames and a
+    unique (ts, event_id) ordering so both engines agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_full = (
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 2).alias("first_val"),
+        F.round(F.nth_value("value", 3).over(w), 2).alias("third_val"),
+        F.round(F.last("value").over(w_full), 2).alias("last_val"),
+    )
