@@ -60,3 +60,14 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     # n_probe=4 of 16 lists on near-random vectors: moderate recall
     assert len(ivf_set & bf_set) >= 0.3 * len(bf_set)
     assert len({r.query_id for r in ivf}) == len({r.query_id for r in bf})
+
+
+def test_embedding_lsh_near_dup_recall(spark):
+    from whisky_wine_etl_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r.vec_a, r.vec_b) for r in dd.embedding_near_dup_pairs(emb, 0.4).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in lsh_near_dup_pairs(emb, 0.4).collect()}
+    assert lsh.issubset(exact)  # exact-cosine verify → perfect precision
+    if exact:
+        assert len(lsh) >= 0.3 * len(exact)  # hyperplane-bucket recall

@@ -243,3 +243,41 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", F.round("cos_sim", 4).alias("cos_sim"), "rk")
     )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) via multi-table
+    hyperplane LSH: bucket-join candidates (a.id < b.id), exact cosine
+    verify. The all-pairs brute force (operators/dedup.py
+    embedding_near_dup_pairs) is the oracle twin; this is the path
+    whose work scales with bucket collisions instead of n²."""
+    sigs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        base = F.lit(t * (1 << n_planes)).cast("long")
+        sigs.append(base + lsh_signature(F.col(vec_col), planes))
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*sigs)).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+        )
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -102,3 +102,16 @@ SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@query("dedup_embedding_cosine_lsh")  # LSH recall probabilistic → rows-only check
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: multi-table hyperplane LSH
+    buckets (same family as sim_topk_lsh) generate candidate pairs,
+    exact cosine verifies — work ∝ bucket collisions, never all pairs.
+    The brute-force twin (dedup_embedding_cosine) is the oracle-checked
+    ground truth; tests assert recall between the two."""
+    from whisky_wine_etl_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(emb, threshold=0.4)
