@@ -329,15 +329,25 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs (the oracle-checkable ground
-    truth; LSH-bucketed ANN in similarity.py is the 100 TB path)."""
-    a = df.alias("a")
-    b = df.alias("b")
-    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4)
+    truth; LSH-bucketed ANN in similarity.py is the 100 TB path).
+    Norms precomputed per row — one fold per pair, not three."""
+    from whisky_wine_etl_spark.functions.vector import dot, norm
+
+    sides = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = sides.alias("a")
+    b = sides.alias("b")
+    cos = F.round(
+        dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

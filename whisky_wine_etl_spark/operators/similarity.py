@@ -29,18 +29,34 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: corpus × queries, rank window per query.
     Rank orders by (rounded cosine desc, candidate id) so results are
-    deterministic across engines and partitionings."""
+    deterministic across engines and partitionings.
+
+    Each side's L2 norm is precomputed ONCE per row before the cross
+    join — computing cosine() per pair would fold both norms again for
+    every pair (3 array folds instead of 1 on the quadratic path)."""
+    from whisky_wine_etl_spark.functions.vector import dot, norm
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("query_vec"), F.col("cand_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))

@@ -1018,3 +1018,25 @@ def window_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("value", 3).over(w), 2).alias("third_val"),
         F.round(F.last("value").over(w_full), 2).alias("last_val"),
     )
+
+
+@query(
+    "func_explode_pos",
+    """
+SELECT e.vec_id, CAST(i.i - 1 AS INT) AS pos,
+       ROUND(CAST(e.embedding[i.i] AS DOUBLE), 4) AS val
+FROM embeddings e,
+     LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) i(i)
+WHERE e.vec_id < 50 AND CAST(e.embedding[i.i] AS DOUBLE) > 0.2
+""",
+)
+def func_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating explode with position (lateral-view / UDTF
+    shape): one output row per array element, filtered post-explode."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+        .filter(F.col("val") > 0.2)
+        .select("vec_id", F.col("pos").cast("int").alias("pos"), F.round("val", 4).alias("val"))
+    )
