@@ -143,6 +143,51 @@ def regex_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Fixed-window token chunking with overlap — the standard
+    pre-training-corpus shaping step (window=50, stride=40 → 10-token
+    overlap between consecutive chunks).
+
+    Pure array ops: tokenize once, generate chunk starts with
+    `sequence`, `posexplode`, then `slice` the shared token array —
+    the text is never re-split per chunk. Emits per chunk its index,
+    start offset, token count, and an md5 of the joined chunk text,
+    which pins the full chunk content for the oracle without shipping
+    megabytes of text through the compare.
+
+    At 100 TB this is a narrow map (scan → project → generate): no
+    shuffle, no state, embarrassingly parallel over documents.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    ).withColumn(
+        "__starts",
+        F.expr(f"transform(sequence(0, cast(floor((__n - 1) / {stride}) as int)), i -> i * {stride})"),
+    )
+    chunk = F.expr(f"slice(__toks, start + 1, {window})")
+    return base.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.posexplode("__starts").alias("chunk_id", "start"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
