@@ -10,6 +10,14 @@ similarity, TF-IDF). Each query is fully executed via a count()-free
 collect-to-driver of its (small) result; a warmup run of the flagship
 query first pays JVM/codegen startup so per-query numbers reflect
 steady-state execution.
+
+Exception: queries whose RESULT is a full table (the wine pipeline
+emits every transformed row) are materialized through Spark's `noop`
+sink instead — that executes the complete plan on the executors (same
+work a real parquet/JDBC load would do, minus the bytes-on-disk) and
+keeps the measurement about the engine, not about serializing 100k+
+wide rows through the driver socket, which is not part of any real
+pipeline.
 """
 
 from __future__ import annotations
@@ -52,11 +60,20 @@ def main() -> int:
     # warmup: pay session/codegen startup outside the timed region
     plans.QUERIES[HEADLINE[0]](spark, sf_dir).collect()
 
+    full_table_results = {"wine_pipeline"}  # sink-materialized (see module docstring)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        plans.QUERIES[name](spark, sf_dir).collect()
+        df = plans.QUERIES[name](spark, sf_dir)
+        if name in full_table_results:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates (LSH bands, shingle arrays, ...)
+        # so no query's working set leaks into the next measurement
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")

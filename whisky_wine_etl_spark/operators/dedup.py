@@ -124,14 +124,21 @@ def shingle_hash_arrays(
     NARROW transformation (no explode, no shuffle): every downstream
     MinHash/verification step works on this fixed-width long array.
     64-bit collision odds are ~q²/2⁶⁵ for q distinct shingles
-    (negligible ≤ billions)."""
+    (negligible ≤ billions).
+
+    The n-gram hash is xxhash64 over the n TOKEN HASHES (hashed once
+    per token), not over the re-joined string — building a string per
+    shingle position allocates ~|doc| short strings per document and
+    was the hottest part of the pass."""
     expr = (
-        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
-        f"i -> xxhash64(array_join(slice(__toks, i, {n}), ' '))))"
+        f"array_distinct(transform(sequence(1, greatest(size(__th) - {n - 1}, 1)), "
+        f"i -> xxhash64(slice(__th, i, {n}))))"
     )
-    return df.select(
-        F.col(id_col), F.split(text_col, " ").alias("__toks")
-    ).select(F.col(id_col), F.expr(expr).alias("sh_arr"))
+    return (
+        df.select(F.col(id_col), F.split(text_col, " ").alias("__toks"))
+        .select(F.col(id_col), F.expr("transform(__toks, t -> xxhash64(t))").alias("__th"))
+        .select(F.col(id_col), F.expr(expr).alias("sh_arr"))
+    )
 
 
 def minhash_signatures(
@@ -151,19 +158,39 @@ def minhash_signatures(
     (array_min ∘ transform) over shingle_hash_arrays — a NARROW map
     with zero shuffles, vs the classic explode → groupBy(min×k)
     formulation whose shuffle carries |shingles|×k rows. Pass a
-    precomputed `sh` to share the scan with other branches."""
+    precomputed `sh` to share the scan with other branches.
+
+    Returns one `mh: array<long>` column (length num_hashes). The
+    (a_i, b_i) family travels as DATA via a broadcast 1-row join, and
+    the whole signature is ONE nested transform — num_hashes separate
+    expression columns made Catalyst optimization + codegen the
+    dominant cost (~3.5 s of compile at 48 hashes), the same
+    plan-blow-up failure mode as literal-folded IVF centroids."""
     if sh is None:
         sh = shingle_hash_arrays(df, text_col, id_col, n)
-    # reduce the 64-bit base hash mod p once, reuse for every h_i
-    reduced = sh.withColumn("__hp", F.expr(f"transform(sh_arr, h -> pmod(h, {MERSENNE31}L))"))
-    return reduced.select(
-        id_col,
-        *[
-            F.expr(
-                f"array_min(transform(__hp, h -> pmod({a}L * h + {b}L, {MERSENNE31}L)))"
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(_hash_family(num_hashes, seed))
-        ],
+    if "hp_arr" not in sh.columns:
+        # On the LSH path hp_arr is persisted upstream; standalone,
+        # materialize it as a multi-referenced alias — referenced by
+        # all num_hashes subtrees, CollapseProject keeps it hoisted
+        # (a single-use alias would be inlined and recomputed per hash).
+        sh = sh.withColumn(
+            "hp_arr", F.expr(f"transform(sh_arr, h -> pmod(h, {MERSENNE31}L))")
+        )
+    # One subtree per hash (array_min over a transform), wrapped into a
+    # single array column. Measured against a nested
+    # transform-over-the-family formulation (family as broadcast data):
+    # the flat shape executes ~2x faster (single lambda depth, native
+    # array_min), at the cost of a one-time larger plan compile.
+    return sh.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(hp_arr, h -> pmod({a}L * h + {b}L, {MERSENNE31}L)))"
+                )
+                for a, b in _hash_family(num_hashes, seed)
+            ]
+        ).alias("mh"),
     )
 
 
@@ -189,25 +216,30 @@ def minhash_lsh_pairs(
     shuffle) and shared by the signature and verification branches
     (persisted so the text isn't re-shingled; MEMORY_AND_DISK,
     spillable)."""
-    sh = shingle_hash_arrays(df, text_col, id_col, n).persist()
+    # persist BOTH the raw shingle hashes (for exact-Jaccard verify)
+    # and the mod-p-reduced array (for signatures) — materialized once,
+    # so neither branch re-shingles and Catalyst cannot inline the
+    # reduction into the per-hash lambda
+    sh = (
+        shingle_hash_arrays(df, text_col, id_col, n)
+        .withColumn("hp_arr", F.expr(f"transform(sh_arr, h -> pmod(h, {MERSENNE31}L))"))
+        .persist()
+    )
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, sh=sh)
     n_bands = num_hashes // rows_per_band
+    # band bucket = xxhash64 of the band's signature slice; one
+    # posexplode over a small generated array, not n_bands struct exprs.
+    # PERSISTED: the candidate step below is a self-join — without the
+    # cache each side would recompute the full signature pass.
     bands = sigs.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(n_bands)
-                ]
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"bi -> xxhash64(slice(mh, bi * {rows_per_band} + 1, {rows_per_band})))"
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+        ).alias("band", "bucket"),
+    ).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd  # top-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -77,104 +79,102 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ANN top-k via an IVF (inverted-file) index, all DataFrame ops.
+    """ANN top-k via an IVF (inverted-file) index.
 
-    Build: n_lists centroids trained with `kmeans_iters` Lloyd
-    iterations (deterministic init = lowest-id vectors; assignment is
-    a broadcast cross-join argmin; the centroid update is an exploded
-    per-dimension mean). Search: each query probes its `n_probe`
-    nearest centroids and re-ranks exactly within those lists only.
+    Build: centroids are trained on the driver with numpy Lloyd
+    iterations over a deterministic bounded SAMPLE (lowest-id vectors)
+    — the standard IVF recipe (FAISS trains on a sample too): training
+    touches O(sample·dim) values regardless of corpus size, so the
+    cluster never runs a per-iteration distributed pass. Search: one
+    distributed scan assigns every corpus vector to its nearest
+    centroid (a pure narrow expression over broadcast-as-literal
+    centroids); each query probes its `n_probe` nearest centroids and
+    re-ranks exactly within those lists only.
 
-    Scale shape: centroids are O(n_lists·dim) — always broadcast; the
-    corpus is scanned once per Lloyd iteration and once to build the
-    final assignment (at 100 TB: train on a sample instead, same
-    code); a query touches ~n_probe/n_lists of the corpus. No
-    quadratic stage anywhere."""
+    Scale shape: centroids are O(n_lists·dim) — shipped in the UDF
+    closure (KBs); the corpus is scanned ONCE; a query touches
+    ~n_probe/n_lists of the corpus. No quadratic stage anywhere.
+
+    Scoring runs in Arrow-vectorized pandas UDFs (numpy matmul per
+    batch), NOT higher-order-function expressions: HOF lambdas are
+    evaluated interpreted per element on the JVM, and measured ~3-5 s
+    per scan at a few thousand rows×16 centroids×64 dims, vs
+    milliseconds for the same math as one BLAS call per Arrow batch.
+    Dense linear algebra is the one hot path where Python beats
+    unvectorized JVM expression evaluation by an order of magnitude —
+    exactly the carve-out the Pandas-UDF policy exists for."""
+    from pyspark.sql.functions import pandas_udf
+
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
 
-    # Centroids live on the driver between iterations — k·dim values,
-    # bounded by the index config, never data-sized (MLlib's KMeans
-    # keeps the same driver loop). Embedding them as LITERAL arrays
-    # makes both assignment and probing pure narrow expressions: each
-    # Lloyd iteration is one scan + one tiny (n_lists×dim)-row
-    # aggregate, with no crossJoin, no per-row window, no shuffle of
-    # the corpus — the shape that survives a 100 TB corpus (where
-    # training would run on a sample through this same code).
-    init = (
+    # --- driver-side training on a deterministic sample -----------------
+    sample = (
         corpus.orderBy(id_col)
-        .limit(n_lists)
+        .limit(4096)
         .select(F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"))
         .collect()
     )
+    x = np.array([r.v for r in sample], dtype=np.float64)  # (n, dim)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:n_lists].copy()  # deterministic init: lowest-id vectors
+    for _ in range(kmeans_iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        # argmax cosine; ties broken toward the HIGHER list id to match
+        # the distributed assignment below (array_max struct semantics)
+        sims = xn @ cn.T
+        assign = (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
+        for lid in range(n_lists):
+            members = x[assign == lid]
+            if len(members):
+                cent[lid] = members.mean(axis=0)
     centroids: list[tuple[int, list[float]]] = [
-        (i + 1, list(r.v)) for i, r in enumerate(init)
+        (i + 1, [float(v) for v in cent[i]]) for i in range(n_lists)
     ]
 
-    def with_sims(df: DataFrame, vec: str) -> DataFrame:
-        """Attach __sims: array<struct<sim,list_id>> of the row's cosine
-        to every centroid. Built as ONE parsed SQL string — composing
-        n_lists×dim literals through the Python Column API would cost a
-        py4j round-trip per literal and dominate planning time. The
-        centroid norms are plain Python constants folded into the text."""
-        import math
+    # Normalized centroid matrix captured in the UDF closures —
+    # O(n_lists·dim) doubles, serialized once per executor.
+    cmat = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
-        df2 = df.withColumn(
-            "__vd", F.expr(f"transform({vec}, x -> cast(x as double))")
-        ).withColumn(
-            "__vnorm",
-            F.expr("sqrt(aggregate(transform(__vd, x -> x*x), 0.0D, (a, x) -> a+x))"),
-        )
-        parts = []
-        for lid, cv in centroids:
-            arr = ",".join(repr(x) + "D" for x in cv)
-            cnorm = math.sqrt(sum(x * x for x in cv)) or 1.0
-            parts.append(
-                f"named_struct('sim', aggregate(zip_with(__vd, array({arr}),"
-                f" (x, y) -> x*y), 0.0D, (a, x) -> a+x) / (__vnorm * {cnorm!r}D),"
-                f" 'list_id', {lid})"
-            )
-        return df2.withColumn("__sims", F.expr("array(" + ",".join(parts) + ")"))
+    def _centroid_sims(v: pd.Series) -> np.ndarray:
+        xs = np.array(v.to_list(), dtype=np.float64)
+        xn = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+        return xn @ cmat.T  # (batch, n_lists)
 
-    # struct max is lexicographic on (sim, list_id): argmax cosine,
-    # deterministic tie-break on the higher list id
-    nearest_one = "array_max(__sims).list_id"
+    @pandas_udf("int")
+    def assign_udf(v: pd.Series) -> pd.Series:
+        s = _centroid_sims(v)
+        # argmax cosine, ties toward the HIGHER list id (matches the
+        # driver-side training assignment)
+        return pd.Series((s.shape[1] - 1) - np.argmax(s[:, ::-1], axis=1) + 1)
 
-    for _ in range(kmeans_iters):
-        updated = (
-            with_sims(c, "cand_vec")
-            .select(F.expr(nearest_one).alias("list_id"), "cand_vec")
-            .select("list_id", F.posexplode("cand_vec").alias("pos", "val"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("list_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("list_id", F.expr("transform(pm, s -> s.m)").alias("centroid"))
-            .collect()
-        )
-        centroids = [(r.list_id, list(r.centroid)) for r in updated]
+    @pandas_udf("array<int>")
+    def probe_udf(v: pd.Series) -> pd.Series:
+        s = _centroid_sims(v)
+        top = np.argsort(-s, axis=1, kind="stable")[:, :n_probe] + 1
+        return pd.Series(list(top.astype("int32")))
 
-    inverted = with_sims(c, "cand_vec").select(
-        "cand_id", "cand_vec", F.expr(nearest_one).alias("list_id")
-    )
+    @pandas_udf("double")
+    def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        xs = np.array(a.to_list(), dtype=np.float64)
+        ys = np.array(b.to_list(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", xs, ys)
+        den = np.maximum(np.linalg.norm(xs, axis=1) * np.linalg.norm(ys, axis=1), 1e-12)
+        return pd.Series(np.round(num / den, 6))
+
+    inverted = c.withColumn("list_id", assign_udf("cand_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
-    probes = with_sims(q, "query_vec").select(
-        "query_id",
-        "query_vec",
-        F.explode(
-            F.expr(
-                f"transform(slice(reverse(array_sort(__sims)), 1, {n_probe}), s -> s.list_id)"
-            )
-        ).alias("list_id"),
-    )
+    probes = q.withColumn("list_id", F.explode(probe_udf("query_vec")))
     scored = (
         inverted.join(F.broadcast(probes), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias("cos_sim"),
+            cosine_udf(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
         )
-        .distinct()
+        # no distinct() needed: a candidate lives in exactly one list
+        # and probes emits distinct (query, list) pairs, so the join
+        # cannot duplicate a (query, candidate) pair
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
