@@ -178,3 +178,32 @@ def test_chunk_tokens_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "x")], "doc_id int, text string")
     got = _rows(tx.chunk_tokens(df, window=5, stride=4), "doc_id")
     assert [(r[0], r[1], r[3]) for r in got] == [(1, 0, 2), (2, 0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_star_isolated(spark):
+    from whisky_wine_etl_spark.operators import dedup as dd
+
+    # chain 1-2-3-4, star 10-{11,12,13}, pair 20-21; 30/31 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 30, 31]], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dd.connected_components(pairs, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 30: 30, 31: 31}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from whisky_wine_etl_spark.operators import dedup as dd
+
+    n = 12  # diameter > typical dedup clusters; one label hop per round
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
+    got = dd.connected_components(pairs, max_iters=15).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == n + 1

@@ -384,3 +384,87 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every node gets
+    `cluster_id` = the minimum node id reachable from it. This is the
+    step that turns pairwise near-dup hits into dedup GROUPS (keep the
+    canonical doc per cluster, drop the rest) — pairs alone can't be
+    acted on when duplicates come in chains a~b~c.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — O(graph diameter)
+    rounds, which for the dense, shallow clusters near-dup detection
+    produces is a handful (for adversarial long-path graphs swap in
+    alternating large-star/small-star (Kiveris et al.), which runs in
+    O(log d) and extends directly from this shape). Each round is one
+    shuffle join + one groupBy, then `localCheckpoint` on the
+    node-sized label frame: without the checkpoint the logical plan
+    GROWS once per round and Catalyst re-optimizes the whole history
+    every iteration — planning, not data, becomes the bottleneck.
+    Convergence is detected with a count of changed labels — one cheap
+    action per round on a frame that is node-sized, never edge-sized.
+    On a cluster use `sc.setCheckpointDir` + `checkpoint()` for fault
+    tolerance instead of the executor-local variant.
+
+    `nodes` (optional) adds isolated vertices (docs with no near-dup
+    edge) as singleton clusters so the output covers the whole corpus.
+    """
+    edges_one = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges_one.unionByName(
+            edges_one.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    if nodes is not None:
+        iso = nodes.select(F.col(nodes.columns[0]).alias("node")).exceptAll(
+            labels.select("node")
+        )
+        singletons = iso.select("node", F.col("node").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(labels["label"], F.coalesce(neigh["nmin"], labels["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = labels
+    if nodes is not None:
+        out = out.unionByName(singletons)
+    edges.unpersist()
+    return out.select(F.col("node").alias(id_a.replace("_a", "_id")), F.col("label").alias("cluster_id"))

@@ -8,6 +8,7 @@ oracle asserted in tests/), embedding-cosine near-dup (oracle).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
 from whisky_wine_etl_spark.operators import dedup as dd
@@ -115,3 +116,63 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_near_dup_pairs(emb, threshold=0.4)
+
+
+@query(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+edges1 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT src, dst FROM edges1 UNION SELECT dst, src FROM edges1),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: connected components over the
+    exact-Jaccard pair graph (min reachable id = cluster id), every
+    corpus doc covered (singletons included). The oracle computes the
+    same transitive closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, threshold=0.5)
+    return dd.connected_components(pairs, nodes=docs.select("doc_id"))
+
+
+@query(
+    "dedup_canonical_summary",
+    f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+edges1 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT src, dst FROM edges1 UNION SELECT dst, src FROM edges1),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+FROM clusters
+""",
+)
+def dedup_canonical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup outcome: how many docs survive canonical
+    (min-id-per-cluster) selection. n_canonical == n_clusters is the
+    internal consistency check the oracle enforces."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, threshold=0.5)
+    clusters = dd.connected_components(pairs, nodes=docs.select("doc_id"))
+    return clusters.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+        ).cast("bigint").alias("n_canonical"),
+    )
