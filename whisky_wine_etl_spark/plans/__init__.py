@@ -11,6 +11,7 @@ from whisky_wine_etl_spark.plans.registry import ORACLES, QUERIES, query  # noqa
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from whisky_wine_etl_spark.plans import (  # noqa: F401
+        advanced,
         dedup,
         etl_patterns,
         extensions,

@@ -1,0 +1,168 @@
+"""Advanced surface: Python UDTF, mergeable HLL sketches, binned
+range join — API and scale patterns beyond the reference's pandas
+surface (its only UDF-shaped code is two row lambdas,
+dags/wine_etl_kaggle.py:81-82; it has no table functions, no
+sketches, no interval joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): gaps-and-islands token-run segmentation
+# ---------------------------------------------------------------------------
+
+
+def _token_runs_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start int, token string, run_len int")
+    class TokenRuns:
+        """Maximal runs of a repeated token (run_len >= 2), 0-based
+        start offset. Linear scan per document — the kind of
+        sequential, carry-state-forward logic a table function
+        expresses naturally; the oracle does the same job as
+        gaps-and-islands SQL (row_number difference trick)."""
+
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            toks = (text or "").split(" ")
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield i, toks[i], j - i
+                i = j
+
+    return TokenRuns
+
+
+@query(
+    "udtf_token_runs",
+    """
+WITH tk AS (
+  SELECT doc_id, t.tok, CAST(t.i AS INT) AS i
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                       unnest(range(1, len(string_split(text, ' ')) + 1)) AS i) t
+  WHERE doc_id < 100
+),
+isl AS (
+  SELECT doc_id, tok, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+  FROM tk
+)
+SELECT doc_id, CAST(MIN(i) - 1 AS INT) AS start, tok AS token,
+       CAST(COUNT(*) AS INT) AS run_len
+FROM isl
+GROUP BY doc_id, tok, grp
+HAVING COUNT(*) >= 2
+""",
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through a LATERAL join — one input row fans out to
+    0..n output rows computed by imperative per-row logic. The UDTF
+    runs batched in the Python worker; the surrounding plan (scan,
+    filter pushdown, lateral generate) stays JVM-side."""
+    spark.udtf.register("token_runs", _token_runs_udtf())
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, r.start, r.token, r.run_len "
+        "FROM __udtf_docs, LATERAL token_runs(text) r"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (hypertable-style distinct-count rollup)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_hll_partial_union")  # sketch estimates have no SQL oracle → rows-only
+def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day served from HOURLY HLL sketch partials
+    merged with hll_union_agg — the companion to
+    rollup_incremental_day for the one aggregate that is NOT algebraic
+    (COUNT DISTINCT cannot be summed across partials; sketches make it
+    mergeable with bounded error). At 100 TB the hourly sketch table
+    is what a hypertable continuous aggregate stores; day/week/month
+    views union the sketches instead of rescanning raw events.
+    Accuracy vs exact countDistinct is asserted in tests (<5% at
+    default lgConfigK=12)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), "event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .select("day", "event_type", F.col("approx_users").cast("bigint").alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binned range join (interval/attribution join at scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_range_binned_attribution",
+    """
+WITH s AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS fs
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS fp
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.event_id AS signup_event_id,
+       CAST(COUNT(p.user_id) AS BIGINT) AS n_purchases_1h,
+       MIN(p.fp - s.fs) AS first_dt_sec
+FROM s LEFT JOIN p
+  ON p.user_id = s.user_id AND p.fp >= s.fs AND p.fp < s.fs + 3600
+GROUP BY s.event_id
+""",
+)
+def join_range_binned_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join — purchases within 1 h of a signup by
+    the same user — executed as an EQUI-join on (user_id, hour bucket)
+    with a 2-bucket probe fan-out and an exact refine filter, instead
+    of the naive theta join the oracle runs.
+
+    The binning trick is the 100 TB interval-join pattern: a θ-join on
+    `p.ts BETWEEN s.ts AND s.ts+1h` forces a broadcast-nested-loop
+    (quadratic) plan, while bucket width = interval length guarantees
+    every match lands in the signup's own or next bucket, so the pair
+    space is bounded by per-(user,hour) activity and the join hashes
+    and shuffles like any equi-join. AQE handles hot (user,hour) skew.
+    """
+    e = load_table(spark, sf_dir, "events")
+    fs = F.col("ts").cast("long")  # floor-to-second, matches floor(epoch())
+    s = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", fs.alias("fs")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", fs.alias("fp"), (fs / F.lit(3600)).cast("long").alias("bucket")
+    )
+    probes = s.withColumn(
+        "bucket", F.explode(F.array((F.col("fs") / 3600).cast("long"), (F.col("fs") / 3600).cast("long") + 1))
+    )
+    joined = probes.join(p, ["user_id", "bucket"], "left").withColumn(
+        "dt", F.col("fp") - F.col("fs")
+    )
+    hits = F.when((F.col("dt") >= 0) & (F.col("dt") < 3600), F.col("dt"))
+    return (
+        joined.groupBy(F.col("event_id").alias("signup_event_id"))
+        .agg(
+            F.count(hits).alias("n_purchases_1h"),
+            F.min(hits).alias("first_dt_sec"),
+        )
+    )
