@@ -91,3 +91,17 @@ def test_jdbc_column_types_clause():
         sio.WINE_JDBC_COLUMN_TYPES, ["points", "unknown_col", "price_category"]
     )
     assert clause == "points INTEGER, price_category VARCHAR(50)"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "docs_orc")
+    sio.write_orc(docs, path)
+    back = sio.read_orc(spark, path)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    # filter pushes into the ORC scan
+    plan = back.filter(back.doc_id < 10)._sc._jvm.PythonSQLUtils.explainString(
+        back.filter(back.doc_id < 10)._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan

@@ -185,3 +185,32 @@ def test_stateful_anomalies_state_carries_across_batches(spark, tmp_path):
     q.stop()
     got = {r.event_id: r.anomalous for r in spark.table("stateful_test").collect()}
     assert got == {1: False, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_foreach_batch_max_upsert_matches_batch_twin(spark, tmp_path):
+    """Streaming foreachBatch upsert over multiple micro-batches ends
+    at exactly the batch groupBy-max result (max is order-insensitive,
+    so any batching yields the same table)."""
+    import pyspark.sql.functions as F
+
+    from whisky_wine_etl_spark.streaming import pipelines as sp
+
+    land = str(tmp_path / "landing")
+    rows = [(i, f"2024-01-01 0{i % 8}:00:00", i % 5, "click", float((i * 37) % 100)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # three files → three micro-batches with maxFilesPerTrigger=1
+    for part in range(3):
+        df.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode("append").parquet(land)
+
+    target = str(tmp_path / "target")
+    stream = sp.file_events_stream(spark, land, max_files_per_trigger=1)
+    sp.run_foreach_batch_max_upsert(spark, stream, target, keys=["user_id"], value_col="value")
+
+    got = {r["user_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    want = {
+        r["user_id"]: r["value"]
+        for r in df.groupBy("user_id").agg(F.max("value").alias("value")).collect()
+    }
+    assert got == want

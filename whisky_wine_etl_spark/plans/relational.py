@@ -1040,3 +1040,60 @@ def func_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("val") > 0.2)
         .select("vec_id", F.col("pos").cast("int").alias("pos"), F.round("val", 4).alias("val"))
     )
+
+
+@query(
+    "window_pct_rank_cume",
+    """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (percent_rank, cume_dist,
+    ntile) — one shuffle on the partition key, sort within."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+@query(
+    "agg_conditional_bool_bits",
+    """
+SELECT l_returnflag,
+       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+       bool_and(l_extendedprice > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS lines_bit_and,
+       CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS lines_bit_or,
+       CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS keys_bit_xor,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional_bool_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean / bitwise aggregates + ordered string_agg
+    (expressed as sort-then-join over collect_set so the result is
+    deterministic under any partitioning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and(F.col("l_linenumber").cast("bigint")).alias("lines_bit_and"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("lines_bit_or"),
+        F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("keys_bit_xor"),
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+    )

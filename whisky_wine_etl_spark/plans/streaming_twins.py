@@ -125,3 +125,25 @@ def stream_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = running_anomalies(sp.events_stream(spark, sf_dir))
     return sp.run_to_memory(spark, s, "append")
+
+
+@query(
+    "stream_static_enrich",
+    """
+SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event STREAM enriched with the batch
+    customer dimension (broadcast per micro-batch), aggregated by
+    segment — verified directly against the equivalent batch join."""
+    from whisky_wine_etl_spark.catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer")
+    s = sp.enrich_with_segment(sp.events_stream(spark, sf_dir), dim)
+    return sp.run_to_memory(spark, s, "complete")

@@ -168,3 +168,13 @@ def read_jdbc(
             .option("numPartitions", str(num_partitions or 4))
         )
     return reader.load()
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar alternative kept API-parallel to parquet;
+    same pushdown/pruning behavior at scale (built-in `orc` source)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -121,6 +121,79 @@ def distinct_user_event(events: DataFrame, watermark: str = "90 days") -> DataFr
     )
 
 
+def enrich_with_segment(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a customer
+    dimension (user_id → market segment) and aggregate per (segment,
+    event_type). The static side is planned per micro-batch — Spark
+    re-resolves it each trigger, so a slowly-refreshed dim view works
+    without restarting the query; being small it broadcasts, so the
+    stream side never shuffles for the join.
+
+    Windowless streaming aggregation → run in complete mode."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.join(F.broadcast(d), "user_id", "left")
+        .withColumn("segment", F.coalesce("segment", F.lit("unknown")))
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def run_foreach_batch_max_upsert(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    value_col: str = "value",
+) -> None:
+    """foreachBatch sink: maintain a keyed table of the MAX value seen
+    per key, reduce-merged into a parquet target each micro-batch —
+    the standard "streaming upsert into a store the engine can't MERGE
+    into" pattern.
+
+    Each batch is reduced to one row per key before the merge
+    (map-side agg), so the merge join is bounded by distinct keys, not
+    batch rows. The merge itself is union + groupBy-max — NOT the SCD1
+    upsert operator, whose source-WINS coalesce semantics would let a
+    later batch's smaller value overwrite the running max; a
+    reduction-merge must combine with the aggregate's own function.
+    max() is commutative/associative, so the final table is identical
+    no matter how the stream was micro-batched — asserted in tests
+    against the batch groupBy twin.
+    """
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        partial = batch.groupBy(*keys).agg(F.max(value_col).alias(value_col))
+        try:
+            target = batch.sparkSession.read.parquet(target_path)
+            merged = (
+                target.unionByName(partial)
+                .groupBy(*keys)
+                .agg(F.max(value_col).alias(value_col))
+            )
+        except Exception:  # first batch: no target yet  # noqa: BLE001
+            merged = partial
+        # parquet is not transactional: write to a new version dir and
+        # overwrite atomically via the _SUCCESS-gated rename Spark does
+        # per write; at scale this is where a table format with MERGE
+        # (Delta/Iceberg) slots in.
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", target_path + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+
 def run_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -131,7 +204,14 @@ def run_to_memory(
     a memory sink and return the sink as a batch DataFrame."""
     sink = name or f"stream_sink_{next(_sink_counter)}"
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # State-store count is fixed by shuffle.partitions at the query's
+    # first run; a bare session's default 200 means 200 state stores
+    # per micro-batch for kilobytes of state. Right-size it here (the
+    # engine's own sessions already set it to the core count).
+    if int(prev_shuffle) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -144,4 +224,5 @@ def run_to_memory(
         q.stop()
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(sink)
