@@ -45,9 +45,14 @@ HEADLINE = [
     "stream_tumbling_1h",             # Structured Streaming windowed agg
     "dedup_exact",                    # hash-groupBy dedup over documents
     "dedup_minhash_lsh",              # MinHash+LSH near-dup
+    "dedup_clusters",                 # pair graph → connected components
     "sim_topk_bruteforce",            # exact cosine top-k over embeddings
-    "sim_topk_ivf",                   # IVF ANN index build + probe
+    "sim_topk_ivf",                   # IVF ANN index build + probe (Arrow)
     "text_tfidf_top_terms",           # tokenize + explode + tf-idf + topk
+    "text_chunk_overlap",             # sliding-window token chunking
+    "join_range_binned_attribution",  # interval join as binned equi-join
+    "merge_scd2_segment",             # SCD2 dimension maintenance
+    "rollup_incremental_day",         # hourly partials → daily rollup
 ]
 
 

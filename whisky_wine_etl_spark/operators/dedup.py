@@ -417,11 +417,19 @@ def connected_components(
     `nodes` (optional) adds isolated vertices (docs with no near-dup
     edge) as singleton clusters so the output covers the whole corpus.
     """
-    edges_one = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # both edge directions from ONE pass over pairs (explode of a
+    # 2-struct array) — a union of two selects over `pairs` would
+    # compute the (expensive) pair join twice on materialization
     edges = (
-        edges_one.unionByName(
-            edges_one.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
