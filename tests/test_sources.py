@@ -105,3 +105,17 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         back.filter(back.doc_id < 10)._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    docs = _docs(spark)
+    docs.repartition(37).write.mode("overwrite").parquet(src)  # 37 tiny files
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 37
+    dst = str(tmp_path / "compacted")
+    n = sio.compact_parquet(spark, src, dst)
+    out_files = glob.glob(dst + "/*.parquet")
+    assert len(out_files) == n == 1  # tiny data → single right-sized file
+    assert spark.read.parquet(dst).count() == docs.count()

@@ -1097,3 +1097,21 @@ def agg_conditional_bool_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("keys_bit_xor"),
         F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
     )
+
+
+@query(
+    "stat_crosstab_priority_status",
+    """
+SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def stat_crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame stat API surface: contingency table via
+    df.stat.crosstab (one shuffle; column per distinct value —
+    bounded-cardinality dimension required, as with any pivot)."""
+    return _t(spark, sf_dir, "orders").stat.crosstab("o_orderpriority", "o_orderstatus")

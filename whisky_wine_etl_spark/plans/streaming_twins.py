@@ -147,3 +147,24 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer")
     s = sp.enrich_with_segment(sp.events_stream(spark, sf_dir), dim)
     return sp.run_to_memory(spark, s, "complete")
+
+
+@query(
+    "stream_stream_attribution",
+    """
+SELECT s.event_id AS signup_event_id,
+       s.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(s.ts)) AS BIGINT) AS dt_sec,
+       ROUND(p.value, 4) AS purchase_value
+FROM events s JOIN events p
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+""",
+)
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM join (both sides unbounded, watermark + time-range
+    condition bounding state) run to completion in append mode and
+    verified against the batch theta join."""
+    s = sp.stream_stream_attribution(sp.events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, s, "append")

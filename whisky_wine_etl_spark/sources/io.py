@@ -178,3 +178,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized for scan efficiency (~128 MB default — the usual HDFS/object
+    -store sweet spot). Streaming sinks and incremental loads produce
+    file counts that grow without bound; scan cost at 100 TB is driven
+    by file count (listing, open, footer reads) as much as bytes.
+
+    Sizes by the SOURCE's on-disk bytes (sum of data file sizes), not
+    row counts, so compression ratio carries over. Returns the target
+    file count. Writes to a new directory — object stores have no
+    atomic rename; the swap is the caller's (or table format's) move.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(src_path)
+    # coalesce, not repartition: merging files needs no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -142,6 +142,44 @@ def enrich_with_segment(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_attribution(events: DataFrame, horizon_sec: int = 3600) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to the same
+    user's signup within `horizon_sec`. BOTH sides are unbounded, so
+    correctness requires (a) watermarks on both streams and (b) a
+    time-range join condition — together they bound how long either
+    side's rows stay in state: a signup can be dropped once the
+    watermark passes signup_ts + horizon, a purchase once its own
+    event time passes. Without the range condition state grows forever
+    and Spark rejects the query in append mode.
+
+    Emits one row per (signup, purchase) match — append-mode safe
+    (matches are final once emitted). The batch twin/oracle is the
+    plain theta join."""
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+    ).withWatermark("signup_ts", "10 minutes")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", "10 minutes")
+    j = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") < F.col("signup_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")),
+        "inner",
+    )
+    return j.select(
+        "signup_event_id",
+        "user_id",
+        (F.col("purchase_ts").cast("long") - F.col("signup_ts").cast("long")).alias("dt_sec"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
 def run_foreach_batch_max_upsert(
     spark: SparkSession,
     stream_df: DataFrame,
