@@ -166,3 +166,79 @@ def join_range_binned_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min(hits).alias("first_dt_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity dedup: blocking + edit-distance refine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_fuzzy_names",
+    """
+WITH c AS (
+  SELECT c_custkey, c_name, substr(c_name, 10, 6) AS blk
+  FROM customer WHERE c_custkey < 500
+)
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM c a JOIN c b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: equi-join on a BLOCKING key (name
+    stem), exact Levenshtein refine only within blocks. The blocking
+    key turns the quadratic all-pairs edit-distance into a hash join
+    whose pair space is the sum of block sizes squared — the same
+    candidates-only discipline as MinHash-LSH, with the refine cost
+    paid per candidate, never per pair of the corpus."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_name", F.substring("c_name", 10, 6).alias("blk"))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .select(
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (semi-structured) handling — Spark 4 parse_json/variant_get
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "func_variant_props",
+    """
+SELECT event_type,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_distinct_k
+FROM events
+GROUP BY event_type
+""",
+)
+def func_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (binary-encoded
+    JSON, typed extraction without a declared schema) — the modern
+    alternative to get_json_object string re-parsing; parse once,
+    extract many times."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
