@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from whisky_wine_etl_spark import plans
 from whisky_wine_etl_spark.catalog import load_table
 
@@ -75,3 +77,32 @@ def test_events_scan_prunes_props_when_unused(spark):
     df = load_table(spark, SF, "events").select("user_id", "value")
     read = [line for line in _formatted(df).splitlines() if "ReadSchema" in line][0]
     assert "props" not in read
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Join-driven pruning: a partitioned fact joined to a filtered dim
+    must plan a dynamicpruning partition filter, so at scale only the
+    partitions the dim selects are scanned at all."""
+    fact_path = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, SF, "orders")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    # the dim filter is on a DIFFERENT column than the join key, so the
+    # partition values to keep are only known at runtime — a filter on
+    # the key itself would be constant-propagated into a static
+    # PartitionFilters entry and DPP would never need to fire
+    dim = (
+        orders.select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderpriority")
+        .distinct()
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+        plan = _formatted(j)
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
