@@ -71,3 +71,16 @@ def test_embedding_lsh_near_dup_recall(spark):
     assert lsh.issubset(exact)  # exact-cosine verify → perfect precision
     if exact:
         assert len(lsh) >= 0.3 * len(exact)  # hyperplane-bucket recall
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """PPJoin prefix filtering is exact: identical pair set, identical
+    jaccard values, at multiple thresholds."""
+    from whisky_wine_etl_spark.catalog import load_table
+    from whisky_wine_etl_spark.operators import dedup as dd
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.3, 0.5, 0.7):
+        naive = sorted(tuple(r) for r in dd.jaccard_pairs(docs, t).collect())
+        pf = sorted(tuple(r) for r in dd.jaccard_pairs(docs, t, prefix_filter=True).collect())
+        assert naive == pf, f"threshold {t}"

@@ -27,6 +27,7 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.functions.vector import cosine
@@ -75,26 +76,80 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity for all pairs with J >= threshold.
 
     Inverted-index formulation: |A∩B| via self-join on shingle,
     |A∪B| = |A|+|B|-|A∩B|. max_shingle_freq prunes stop-shingles
     (skew control at scale; changes recall only for pairs whose every
-    common shingle is ultra-frequent)."""
+    common shingle is ultra-frequent).
+
+    prefix_filter=True enables PPJoin-style prefix filtering, EXACT for
+    the given threshold: order every document's shingles by a global
+    total order (ascending corpus frequency, then shingle — rarest
+    first) and index only each doc's first |d| - ceil(t·|d|) + 1
+    shingles. If J(A,B) >= t the two prefixes provably share a
+    shingle, so candidate generation only joins on prefix postings,
+    and the verify step computes the same exact Jaccard (equality
+    with the naive path is pinned in tests at every SF).
+
+    When to flip it on: real corpora — Zipfian vocabulary, long
+    documents — where frequent shingles explode the full inverted
+    index; the prefix drops them from candidate generation entirely.
+    On THIS repo's synthetic corpus (tiny vocabulary, ~100-token
+    docs) measured prefix filtering is ~2-3x SLOWER than the naive
+    index: nearly every prefix still collides, so the extra
+    freq-rank/window/verify stages buy no pruning. Default stays
+    False; it is a scale lever, not a universal win."""
     sh = shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+
+    if prefix_filter:
+        sh = sh.persist()
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__freq"))
+        ranked = sh.join(F.broadcast(freq), "shingle").withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy("__freq", "shingle")
+            ),
+        )
+        prefix = ranked.join(sizes, id_col).filter(
+            # prefix length = n - ceil(t*n) + 1
+            F.col("__rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).select(id_col, "shingle")
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct()
+        )
+        # exact |A∩B| for candidates only: re-join full postings
+        sha = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("__sha"))
+        shb = sh.select(F.col(id_col).alias("__db"), F.col("shingle").alias("__shb"))
+        common = (
+            cand.join(sha, "doc_a")
+            .join(shb, (F.col("doc_b") == F.col("__db")) & (F.col("__sha") == F.col("__shb")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b")
     return (
