@@ -60,3 +60,24 @@ def test_udtf_runs_match_manual_scan(spark):
             i = j
     got = sorted((r["doc_id"], r["start"], r["token"], r["run_len"]) for r in rows)
     assert got == sorted(expected)
+
+
+def test_approx_percentile_close_to_exact(spark):
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p99_approx"])
+        for r in plans.QUERIES["agg_approx_percentile"](spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p99"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for k, (a50, a99) in approx.items():
+        e50, e99 = exact[k]
+        assert abs(a50 - e50) / e50 < 0.02, (k, a50, e50)
+        assert abs(a99 - e99) / e99 < 0.02, (k, a99, e99)

@@ -95,3 +95,36 @@ def sample_frames(mm: DataFrame, every: int = 2) -> DataFrame:
         )
         .filter(F.col("frame_idx") % every == 0)
     )
+
+
+def resize_payload(mm: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize plumbing via mapInPandas: Arrow batches in, one resized
+    payload + updated dimension metadata out. A real implementation
+    calls the codec inside the same loop (decode → resample → encode);
+    here the resample is a deterministic fake — clamp dimensions to the
+    target box and truncate the payload to width*height/16 bytes — so
+    the full pipeline (schema evolution of the meta struct included)
+    is testable and oracle-checkable end to end."""
+    out_schema = (
+        "doc_id bigint, width int, height int, payload binary"
+    )
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].clip(upper=target_w).astype("int32")
+            h = pdf["height"].clip(upper=target_h).astype("int32")
+            n = (w.astype("int64") * h.astype("int64") // 16).astype("int64")
+            payload = [
+                bytes(p[: int(k)]) for p, k in zip(pdf["payload"], n, strict=True)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": w, "height": h, "payload": payload}
+            )
+
+    flat = mm.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "payload",
+    )
+    return flat.mapInPandas(do_resize, schema=out_schema)

@@ -324,3 +324,42 @@ def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "cand_id", F.round("cos6", 4).alias("cos_sim"), "rk")
     )
+
+
+@query(
+    "mm_resize",
+    """
+WITH mm AS (
+  SELECT doc_id, text,
+         CAST(n_chars % 640 AS INT) AS width,
+         CAST((doc_id * 7) % 480 AS INT) AS height
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(least(width, 64) AS INT) AS width,
+         CAST(least(height, 64) AS INT) AS height,
+         least(CAST(least(width, 64) AS BIGINT) * least(height, 64) // 16,
+               length(text)) AS n_bytes
+  FROM mm
+)
+SELECT r.doc_id, r.width, r.height,
+       CAST(r.n_bytes AS INT) AS n_bytes,
+       md5(substr(m.text, 1, CAST(r.n_bytes AS INT))) AS payload_md5
+FROM r JOIN mm m ON m.doc_id = r.doc_id
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize through Arrow-batched mapInPandas (fake
+    resample, real plumbing): dimensions clamped to a 64x64 box,
+    payload truncated to w*h/16 bytes; the md5 pins the exact bytes
+    the Python stage produced."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = mm.resize_payload(mm.synthesize_multimodal(docs))
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

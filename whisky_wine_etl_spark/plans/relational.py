@@ -1115,3 +1115,20 @@ def stat_crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
     df.stat.crosstab (one shuffle; column per distinct value —
     bounded-cardinality dimension required, as with any pivot)."""
     return _t(spark, sf_dir, "orders").stat.crosstab("o_orderpriority", "o_orderstatus")
+
+
+@query("agg_approx_percentile")  # sketch-based → rows-only driver check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch, single pass, mergeable
+    partials) — the 100 TB path for quantiles; exact percentile needs
+    a per-group sort. Accuracy vs exact is pinned in tests (the
+    `accuracy` argument bounds rank error, here 1/10000)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4
+        ).alias("p50_approx"),
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4
+        ).alias("p99_approx"),
+    )
