@@ -1132,3 +1132,40 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4
         ).alias("p99_approx"),
     )
+
+
+@query(
+    "agg_stats_corr_regr",
+    """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+       ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+       ROUND(var_samp(l_quantity), 6) AS var_qty,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, covariance, variance, and
+    the SQL:2003 linear-regression family — all single-pass
+    partial+final aggregates (each is a handful of running moments),
+    so they cost the same one shuffle as a SUM at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 4).alias("covar_s"),
+        F.round(F.covar_pop(q, p), 4).alias("covar_p"),
+        F.round(F.stddev_samp(p), 4).alias("sd_price"),
+        F.round(F.var_samp(q), 6).alias("var_qty"),
+        F.round(F.regr_slope(p, q), 6).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        F.round(F.regr_r2(p, q), 6).alias("r2"),
+        F.regr_count(p, q).alias("n_pairs"),
+    )
