@@ -242,3 +242,101 @@ def func_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("int").alias("max_k"),
         F.countDistinct("k").alias("n_distinct_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization + funnel (event analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionize",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, CAST(session_no AS INT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+FROM s
+GROUP BY user_id, session_no
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a session starts at
+    any event >30 min after the user's previous one (lag), session id
+    = running count of starts (cumulative sum frame). Two window
+    passes over ONE shuffle on user_id — the batch twin of the
+    streaming session_window pipeline, verified against the same
+    grouping DuckDB computes."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fs = F.col("ts").cast("long")
+    prev = F.lag(fs).over(w)
+    is_start = F.when(prev.isNull() | ((fs - prev) > 1800), 1).otherwise(0)
+    sess = F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        e.select("user_id", "event_id", "ts", is_start.alias("is_start"))
+        .withColumn("session_no", sess.cast("int"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(fs) - F.min(fs)).alias("duration_sec"),
+        )
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(count_if(t_signup IS NOT NULL) AS BIGINT) AS stage_signup,
+       CAST(count_if(t_signup IS NOT NULL AND t_click > t_signup) AS BIGINT) AS stage_click,
+       CAST(count_if(t_signup IS NOT NULL AND t_click > t_signup
+                     AND t_purchase > t_click) AS BIGINT) AS stage_purchase
+FROM f
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked AFTER the
+    signup, then purchased AFTER that click (first-occurrence times
+    via conditional MIN — one aggregation pass, no joins, no
+    explosion; the standard scalable funnel shape)."""
+    e = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    f = e.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    sign = F.col("t_signup").isNotNull()
+    click = sign & (F.col("t_click") > F.col("t_signup"))
+    buy = click & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(sign).alias("stage_signup"),
+        F.count_if(click).alias("stage_click"),
+        F.count_if(buy).alias("stage_purchase"),
+    )
