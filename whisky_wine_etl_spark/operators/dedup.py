@@ -464,8 +464,10 @@ def connected_components(
     node-sized label frame: without the checkpoint the logical plan
     GROWS once per round and Catalyst re-optimizes the whole history
     every iteration — planning, not data, becomes the bottleneck.
-    Convergence is detected with a count of changed labels — one cheap
-    action per round on a frame that is node-sized, never edge-sized.
+    Labels move monotonically downward (each is replaced by a min that
+    includes itself), so convergence is the SUM of labels not changing
+    between rounds — one scalar aggregate per round instead of an
+    old-vs-new join.
     On a cluster use `sc.setCheckpointDir` + `checkpoint()` for fault
     tolerance instead of the executor-local variant.
 
@@ -499,6 +501,7 @@ def connected_components(
         )
         singletons = iso.select("node", F.col("node").alias("label"))
     labels = labels.localCheckpoint(eager=True)
+    label_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(max_iters):
         neigh = (
@@ -516,15 +519,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
 
     out = labels
     if nodes is not None:
