@@ -207,3 +207,20 @@ def test_connected_components_long_chain_converges(spark):
     got = dd.connected_components(pairs, max_iters=15).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == n + 1
+
+
+# ---------------------------------------------------------------------------
+# surrogate keys
+# ---------------------------------------------------------------------------
+
+
+def test_surrogate_key_contiguous_and_partition_invariant(spark):
+    from whisky_wine_etl_spark.operators.keys import add_surrogate_key
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "k").repartition(13)
+    a = {r["k"]: r["sk"] for r in add_surrogate_key(df, ["k"], num_partitions=4).collect()}
+    b = {r["k"]: r["sk"] for r in add_surrogate_key(df, ["k"], num_partitions=11).collect()}
+    # global rank regardless of partition count; contiguous 1..N
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 3001))
+    assert a[0] == 1 and a[2999] == 3000

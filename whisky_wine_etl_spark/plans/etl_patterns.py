@@ -353,3 +353,27 @@ def rollup_incremental_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("p_sum"), 4) / F.sum("p_n")).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Surrogate keys (scalable global sequence)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "etl_surrogate_keys",
+    """
+SELECT c_custkey, CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS sk
+FROM customer
+""",
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous sequence via the two-pass range-partition +
+    offset pattern (operators/keys.py) — the oracle's naive global
+    ROW_NUMBER() is exactly what this avoids at scale (one-task
+    sort); the result is identical because within-partition ranks plus
+    range-ordered offsets reconstruct the global rank."""
+    from whisky_wine_etl_spark.operators.keys import add_surrogate_key
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return add_surrogate_key(c, ["c_custkey"]).select("c_custkey", "sk")
