@@ -63,3 +63,18 @@ def test_regex_tokens_mixed_content(spark):
     # 'a','1','b','2'
     assert rows[3].n_bpe_tokens == 4
     assert rows[3].n_unique_bpe_tokens == 4
+
+
+def test_salted_agg_avg_ignores_nulls_like_plain_avg(spark):
+    """ADVICE fix: avg decomposition must use the NON-NULL count as its
+    denominator — count(1) would dilute the average on nullable cols."""
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0), ("b", None), ("b", 5.0)],
+        "k string, v double",
+    )
+    plain = {r.k: r.a for r in df.groupBy("k").agg(F.avg("v").alias("a")).collect()}
+    salted = {
+        r.k: r.avg_v
+        for r in salted_agg(df, ["k"], {"avg_v": ("avg", "v")}, salt_buckets=4).collect()
+    }
+    assert salted == plain == {"a": 15.0, "b": 5.0}

@@ -77,7 +77,7 @@ def test_wine_etl_end_to_end(spark, tmp_path):
     assert result.validation["description_too_short"] == 1  # 'short' (5 chars)
 
     # both sinks materialized
-    back_csv = sio.read_csv(spark, csv_out)
+    back_csv = sio.read_csv(spark, csv_out, infer_schema=True)
     assert back_csv.count() == 3
     back_jdbc = sio.read_jdbc(spark, url, "wine_data", driver=driver)
     assert back_jdbc.count() == 3

@@ -224,3 +224,31 @@ def test_surrogate_key_contiguous_and_partition_invariant(spark):
     assert a == b
     assert sorted(a.values()) == list(range(1, 3001))
     assert a[0] == 1 and a[2999] == 3000
+
+
+def test_upsert_strict_mode_rejects_null_update(spark):
+    """reject_null_updates=True fails loudly where the default silently
+    keeps the stale target value."""
+    import pytest
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    source = spark.createDataFrame([(1, None)], "k int, name string")
+    with pytest.raises(Exception, match="strict mode"):
+        mg.upsert(target, source, ["k"], reject_null_updates=True).collect()
+    # clean sources still merge fine under strict mode
+    ok = spark.createDataFrame([(2, "B"), (3, "c")], "k int, name string")
+    got = _rows(mg.upsert(target, ok, ["k"], reject_null_updates=True), "k")
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """ADVICE fix: iteration-capped exit must raise, not return split
+    clusters silently."""
+    import pytest
+    from whisky_wine_etl_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iters=2)

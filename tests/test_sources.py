@@ -119,3 +119,17 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     out_files = glob.glob(dst + "/*.parquet")
     assert len(out_files) == n == 1  # tiny data → single right-sized file
     assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_read_csv_requires_explicit_schema(spark, tmp_path):
+    """ADVICE fix: schema-explicit policy enforced — inference is an
+    opt-in escape hatch, not a silent fallback."""
+    import pytest
+
+    path = str(tmp_path / "c.csv")
+    spark.createDataFrame([(1, "x")], "a int, b string").write.option(
+        "header", "true"
+    ).csv(path)
+    with pytest.raises(ValueError, match="explicit schema"):
+        sio.read_csv(spark, path)
+    assert sio.read_csv(spark, path, infer_schema=True).count() == 1

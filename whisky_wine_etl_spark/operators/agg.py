@@ -43,8 +43,12 @@ def salted_agg(
     stage2_exprs: list[Column] = []
     for name, (fn, col) in aggs.items():
         if fn == "avg":
+            # Denominator must be the NON-NULL count of the aggregated
+            # column (F.count(col)), matching Spark/ANSI avg semantics:
+            # avg ignores nulls, so count(1) would dilute the result
+            # whenever the value column is nullable.
             stage1_exprs.append(F.sum(col).alias(f"__{name}_sum"))
-            stage1_exprs.append(F.count(F.lit(1)).alias(f"__{name}_cnt"))
+            stage1_exprs.append(F.count(F.col(col)).alias(f"__{name}_cnt"))
             stage2_exprs.append(
                 (F.sum(f"__{name}_sum") / F.sum(f"__{name}_cnt")).alias(name)
             )

@@ -503,6 +503,7 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     label_sum = labels.agg(F.sum("label")).collect()[0][0]
 
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -522,8 +523,19 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if new_sum == label_sum:
+            converged = True
             break
         label_sum = new_sum
+
+    if not converged:
+        # exiting by iteration count means some chain longer than
+        # max_iters edges still carries a non-minimal label — the
+        # cluster ids would be silently WRONG (split clusters)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters}: "
+            "the graph has a path longer than max_iters. Raise max_iters, or use "
+            "large-star/small-star (O(log d) rounds) for long-chain graphs."
+        )
 
     out = labels
     if nodes is not None:

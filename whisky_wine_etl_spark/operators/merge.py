@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    reject_null_updates: bool = False,
+) -> DataFrame:
     """SCD Type-1 merge: source rows win on key collision, target rows
     survive when no update arrived, brand-new source keys are inserted.
 
@@ -30,9 +35,13 @@ def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
     single shuffle, no table rewrite machinery needed.
 
     Note the null caveat: `coalesce` cannot represent "update a column
-    TO null". For tables where that matters, carry an explicit
-    presence flag; the reference's pipeline (nulls already imputed
-    upstream, T-3/T-5) never needs it.
+    TO null" — a source row that legitimately nulls a value keeps the
+    stale target value. For tables where that matters, carry an
+    explicit presence flag, or pass reject_null_updates=True (strict
+    mode): any matched source row with a null in a value column whose
+    target value is non-null fails the job loudly instead of silently
+    keeping stale data. The reference's pipeline (nulls already imputed
+    upstream, T-3/T-5) never needs either.
     """
     value_cols = [c for c in target.columns if c not in keys]
     if set(target.columns) != set(source.columns):
@@ -42,9 +51,34 @@ def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
     t = target.alias("__t")
     s = source.alias("__s")
     cond = [F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}")) for k in keys]
-    return t.join(s, cond, "full_outer").select(
+    joined = t.join(s, cond, "full_outer")
+
+    def merged(c: str) -> F.Column:
+        out = F.coalesce(F.col(f"__s.{c}"), F.col(f"__t.{c}"))
+        if reject_null_updates:
+            # the guard lives INSIDE the output expression (a separate
+            # assert column would be pruned away unevaluated): a matched
+            # row where the source nulls a non-null target value raises
+            # on first occurrence, in the same shuffle — no extra pass
+            matched = (
+                F.col(f"__s.{keys[0]}").isNotNull() & F.col(f"__t.{keys[0]}").isNotNull()
+            )
+            bad = matched & F.col(f"__s.{c}").isNull() & F.col(f"__t.{c}").isNotNull()
+            out = F.when(
+                bad,
+                F.raise_error(
+                    F.lit(
+                        f"upsert strict mode: source nulls column {c!r} for an "
+                        "existing key — coalesce would silently keep the stale "
+                        "target value"
+                    )
+                ),
+            ).otherwise(out)
+        return out.alias(c)
+
+    return joined.select(
         *[F.coalesce(F.col(f"__s.{k}"), F.col(f"__t.{k}")).alias(k) for k in keys],
-        *[F.coalesce(F.col(f"__s.{c}"), F.col(f"__t.{c}")).alias(c) for c in value_cols],
+        *[merged(c) for c in value_cols],
     )
 
 

@@ -193,13 +193,20 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document. tf = in-doc count,
     idf = ln(N / df). One explode + two shuffles (term df, then the
-    per-doc top-k window) — the classic scalable formulation."""
+    per-doc top-k window) — the classic scalable formulation.
+
+    Scale note: `doc_freq` is vocabulary-sized (one row per distinct
+    term in the corpus) — unbounded at 100 TB, so it must NOT carry a
+    broadcast hint; the tf↔df join is a plain shuffle join on `term`
+    (both sides already hash-partitioned by term from their groupBys)
+    and AQE will still broadcast it at small SF when it measures under
+    the threshold. Only the 1-row `n_docs` scalar is broadcast."""
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     doc_freq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     scored = (
-        tf.join(F.broadcast(doc_freq), "term")
+        tf.join(doc_freq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )

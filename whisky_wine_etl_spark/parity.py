@@ -78,11 +78,14 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
 def run_suite(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, str]:
     from whisky_wine_etl_spark import plans
 
+    import time
+
     plans.load_all()
     con = duckdb_connection(sf_dir)
     results: dict[str, str] = {}
     for name in names or sorted(plans.QUERIES):
         fn = plans.QUERIES[name]
+        t0 = time.monotonic()
         try:
             df = fn(spark, sf_dir)
             if name in plans.ORACLES:
@@ -93,6 +96,7 @@ def run_suite(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, s
                 results[name] = f"PASS rows-only ({n} rows)"
         except Exception as e:  # noqa: BLE001
             results[name] = f"ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        results[name] += f" [{time.monotonic() - t0:.2f}s]"
     return results
 
 

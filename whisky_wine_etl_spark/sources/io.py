@@ -74,14 +74,26 @@ def read_json(
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: str | None = None, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
 ) -> DataFrame:
-    """S-3: CSV scan, schema-explicit (inference = an extra full pass)."""
+    """S-3: CSV scan, schema-explicit by policy — inference is an
+    extra full pass and one schema mistake on 100 TB is a full
+    re-read, so a missing schema raises unless the caller OPTS IN with
+    infer_schema=True (exploration-only escape hatch)."""
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(schema)
-    else:
+    elif infer_schema:
         reader = reader.option("inferSchema", "true")
+    else:
+        raise ValueError(
+            "read_csv requires an explicit schema (pass infer_schema=True "
+            "to opt into a full inference pass — exploration only)"
+        )
     return reader.csv(path)
 
 

@@ -201,26 +201,60 @@ def run_foreach_batch_max_upsert(
     max() is commutative/associative, so the final table is identical
     no matter how the stream was micro-batched — asserted in tests
     against the batch groupBy twin.
-    """
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
+    Durability: state is kept in VERSIONED parquet dirs
+    (`{target_path}_versions/v{batch_id}`), never overwriting the dir
+    being read — the read-then-overwrite-same-path pattern loses the
+    whole table if an executor recomputes after the dir is cleared.
+    "First batch" is decided by an explicit filesystem check for a
+    committed (_SUCCESS-marked) earlier version — any actual read
+    error fails the batch loudly instead of silently restarting state
+    from the current partial. A retried batch id merges over the last
+    version BELOW it, so retries are idempotent. After the stream
+    drains, the latest version is published to `target_path`. At scale
+    this is where a transactional table format (Delta/Iceberg MERGE)
+    slots in; this is the plain-parquet equivalent.
+    """
+    versions_dir = target_path + "_versions"
+
+    def _hadoop(sess: SparkSession, path: str):
+        jvm = sess._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jvm, jpath, jpath.getFileSystem(sess._jsc.hadoopConfiguration())
+
+    def _latest_version(sess: SparkSession, below: int | None = None) -> int | None:
+        """Highest committed version id (< below if given), via an
+        explicit existence check — NOT exception-driven."""
+        jvm, vroot, fs = _hadoop(sess, versions_dir)
+        if not fs.exists(vroot):
+            return None
+        ids = []
+        for st in fs.listStatus(vroot):
+            name = st.getPath().getName()
+            if not name.startswith("v"):
+                continue
+            vid = int(name[1:])
+            if below is not None and vid >= below:
+                continue
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{versions_dir}/{name}/_SUCCESS")):
+                ids.append(vid)
+        return max(ids) if ids else None
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
         partial = batch.groupBy(*keys).agg(F.max(value_col).alias(value_col))
-        try:
-            target = batch.sparkSession.read.parquet(target_path)
+        prev = _latest_version(sess, below=batch_id)
+        if prev is None:
+            merged = partial
+        else:
+            # a read failure here is a real error and fails the batch
+            target = sess.read.parquet(f"{versions_dir}/v{prev}")
             merged = (
                 target.unionByName(partial)
                 .groupBy(*keys)
                 .agg(F.max(value_col).alias(value_col))
             )
-        except Exception:  # first batch: no target yet  # noqa: BLE001
-            merged = partial
-        # parquet is not transactional: write to a new version dir and
-        # overwrite atomically via the _SUCCESS-gated rename Spark does
-        # per write; at scale this is where a table format with MERGE
-        # (Delta/Iceberg) slots in.
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        merged.write.mode("overwrite").parquet(f"{versions_dir}/v{batch_id}")
 
     q = (
         stream_df.writeStream.foreachBatch(handle)
@@ -230,6 +264,13 @@ def run_foreach_batch_max_upsert(
     )
     q.awaitTermination()
     q.stop()
+    final = _latest_version(spark)
+    if final is not None:
+        # publish: source and destination are different dirs, so the
+        # copy never reads the path it is clearing
+        spark.read.parquet(f"{versions_dir}/v{final}").write.mode("overwrite").parquet(
+            target_path
+        )
 
 
 def run_to_memory(
