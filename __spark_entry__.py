@@ -31,9 +31,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.QUERIES["flagship_q5_revenue_by_nation"](spark, "/root/testdata/sf0.001")
 
 
+def _verified_names() -> set[str]:
+    """Query names that already have a green row in any committed
+    CORRECTNESS_r*.json (hash-match, or ran under the rows-only
+    carve-out). Used only to ORDER the registry: the round-1 driver
+    stopped after the first 50 registered queries, so queries still
+    missing a verification row must be yielded first."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                green.add(name)
+    return green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(plans.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so a budget-capped driver verifies the highest-value
+    queries first: reference Part-A (wine_*) before everything else,
+    and queries with no green CORRECTNESS row yet before ones already
+    verified in an earlier round. Ties keep registration order."""
+    green = _verified_names()
+    names = list(plans.QUERIES)
+    # Stable sort: ties keep registration order without an index key.
+    names.sort(key=lambda n: (n in green, not n.startswith("wine_")))
+    return {n: plans.QUERIES[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

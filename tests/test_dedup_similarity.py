@@ -20,6 +20,29 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert len(lsh) >= 0.8 * len(exact)  # r=3,b=16 curve at s>=0.5
 
 
+def test_lsh_clusters_refine_exact_clusters(spark):
+    """The LSH-fed clustering (the 100 TB path) must be a REFINEMENT of
+    the exact-pairs clustering: LSH pairs ⊆ exact pairs (verify step),
+    so any two docs the LSH path merges are merged by the exact path
+    too — and cluster-set recall stays high at r=3,b=16, s>=0.5."""
+    docs = load_table(spark, SF, "documents")
+    exact_pairs = dd.jaccard_pairs(docs, 0.5)
+    lsh_pairs = dd.minhash_lsh_pairs(docs, 0.5)
+    nodes = docs.select("doc_id")
+    exact = {r.doc_id: r.cluster_id for r in dd.connected_components(exact_pairs, nodes=nodes).collect()}
+    lsh = {r.doc_id: r.cluster_id for r in dd.connected_components(lsh_pairs, nodes=nodes).collect()}
+    assert set(exact) == set(lsh)  # both cover the whole corpus
+    # refinement: docs in one LSH cluster share their exact cluster
+    for doc, lab in lsh.items():
+        assert exact[doc] == exact[lab], f"doc {doc}: LSH merged across exact clusters"
+    # recall on the merge decisions: of the docs the exact path merges
+    # into a non-singleton cluster, >=80% are also merged by LSH
+    exact_merged = {d for d, c in exact.items() if d != c or sum(1 for x in exact.values() if x == c) > 1}
+    lsh_merged = {d for d, c in lsh.items() if d != c or sum(1 for x in lsh.values() if x == c) > 1}
+    if exact_merged:
+        assert len(lsh_merged & exact_merged) >= 0.8 * len(exact_merged)
+
+
 def test_simhash_near_dups_collide(spark):
     docs = load_table(spark, SF, "documents")
     exact = {(r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, 0.8).collect()}

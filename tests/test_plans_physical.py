@@ -73,6 +73,22 @@ def test_extension_paths_stay_jvm_side(spark, name):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
 
 
+def test_tfidf_doc_freq_join_not_hinted_broadcast(spark):
+    """The tf↔doc_freq join must carry NO broadcast hint — doc_freq is
+    vocabulary-sized (unbounded at 100 TB). With the auto-broadcast
+    threshold disabled, a lingering hint would still plan a
+    BroadcastHashJoin; hint-free, the term join sort-merges and the only
+    broadcast left is the 1-row n_docs scalar (BroadcastNestedLoopJoin)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plans.QUERIES["text_tfidf_top_terms"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the n_docs scalar only
+
+
 def test_events_scan_prunes_props_when_unused(spark):
     df = load_table(spark, SF, "events").select("user_id", "value")
     read = [line for line in _formatted(df).splitlines() if "ReadSchema" in line][0]

@@ -142,6 +142,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs, nodes=docs.select("doc_id"))
 
 
+@query("dedup_clusters_lsh")  # LSH pair recall probabilistic → rows-only check
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB clustering composition: MinHash-LSH candidate pairs
+    (work ∝ bucket collisions, never all-pairs) feed the same
+    connected-components step as the exact path. `dedup_clusters`
+    stays as the oracle-checked twin; tests assert cluster-set recall
+    between the two (LSH can only MERGE FEWER docs — its pair set is a
+    subset of the exact pairs after the exact-Jaccard verify, so every
+    LSH cluster is a refinement of an exact cluster)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    return dd.connected_components(pairs, nodes=docs.select("doc_id"))
+
+
+@query("dedup_canonical_summary_lsh")  # LSH recall probabilistic → rows-only
+def dedup_canonical_summary_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup outcome over the LSH-fed clusters — the
+    summary a 100 TB run would actually produce (same shape as the
+    oracle-checked `dedup_canonical_summary`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = dd.connected_components(pairs, nodes=docs.select("doc_id"))
+    return clusters.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+        ).cast("bigint").alias("n_canonical"),
+    )
+
+
 @query(
     "dedup_canonical_summary",
     f"""
