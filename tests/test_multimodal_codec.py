@@ -1,0 +1,89 @@
+"""Real-codec multimodal tests: the pure-Python BMP codec
+(functions/bmp.py) and the decode→resize→encode pipeline over Spark
+(operators/multimodal.py resize_payload_real).
+
+The codec-level tests are pure Python (no Spark) so format bugs fail
+in milliseconds; the Spark test pins the end-to-end bytes by md5 —
+something the SQL oracle can't express (it pins pixel statistics
+instead, see plans/extensions.py mm_resize_real).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+from whisky_wine_etl_spark.functions import bmp
+from whisky_wine_etl_spark.operators import multimodal as mm
+from whisky_wine_etl_spark.catalog import load_table
+
+
+def test_roundtrip_exact_over_dimension_sweep():
+    # widths 8..16 cover every stride-padding residue (3w % 4 ∈ {0,1,2,3})
+    for d in range(20):
+        w, h = 8 + d % 9, 8 + (d * 3) % 7
+        px = bmp.synth_pixels(d, w, h)
+        enc = bmp.encode_bmp(px)
+        assert len(enc) == bmp.bmp_size(w, h)
+        assert (bmp.decode_bmp(enc) == px).all()
+
+
+def test_header_fields_follow_format():
+    enc = bmp.encode_bmp(bmp.synth_pixels(3, 9, 5))  # w=9 → stride 28 (padded)
+    assert enc[:2] == b"BM"
+    file_size, = struct.unpack_from("<I", enc, 2)
+    offset, = struct.unpack_from("<I", enc, 10)
+    hsize, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", enc, 14)
+    assert (file_size, offset) == (len(enc), 54)
+    assert (hsize, w, h, planes, bpp, comp) == (40, 9, 5, 1, 24, 0)
+    # bottom-up + BGR: first stored pixel is source (x=0, y=h-1), blue first
+    px = bmp.synth_pixels(3, 9, 5)
+    assert enc[54] == px[4, 0, 2] and enc[56] == px[4, 0, 0]
+    assert bmp.row_stride(9) == 28  # 27 pixel bytes + 1 pad
+
+
+def test_decode_rejects_malformed():
+    good = bmp.encode_bmp(bmp.synth_pixels(1, 8, 8))
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(b"PNG" + good[3:])
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(good[:40])  # truncated header
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(good[:-5])  # truncated pixel data
+
+
+def test_resize_nearest_matches_index_arithmetic():
+    px = bmp.synth_pixels(11, 13, 9)
+    out = bmp.resize_nearest(px, 10, 10)
+    for xt in range(10):
+        for yt in range(10):
+            assert (out[yt, xt] == px[(yt * 9) // 10, (xt * 13) // 10]).all()
+
+
+def test_encoded_bytes_md5_pinned():
+    # pins the exact file bytes: any format drift (padding, header
+    # field, channel order) changes these digests
+    enc = bmp.encode_bmp(bmp.synth_pixels(7, 15, 8))
+    assert hashlib.md5(enc).hexdigest() == "9b9612a582420ea623cfa04d5dfce7ad"
+    out = bmp.resize_nearest(bmp.decode_bmp(enc), 10, 10)
+    assert hashlib.md5(bmp.encode_bmp(out)).hexdigest() == (
+        "cdb652ff0a8c97af4e5bc72b5c012846"
+    )
+
+
+def test_spark_real_resize_pipeline(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    resized = mm.resize_payload_real(mm.synthesize_bmp_corpus(docs))
+    rows = {r.doc_id: r for r in resized.collect()}
+    assert len(rows) == 50
+    for doc_id, r in rows.items():
+        w, h = 8 + doc_id % 9, 8 + (doc_id * 3) % 7
+        expect = bmp.resize_nearest(bmp.synth_pixels(doc_id, w, h), 10, 10)
+        assert r.width == 10 and r.height == 10
+        assert r.n_bytes == bmp.bmp_size(10, 10) == 374
+        assert r.pixel_sum == int(expect.astype(np.int64).sum())
+        assert bytes(r.payload) == bmp.encode_bmp(expect)

@@ -214,3 +214,35 @@ def test_foreach_batch_max_upsert_matches_batch_twin(spark, tmp_path):
         for r in df.groupBy("user_id").agg(F.max("value").alias("value")).collect()
     }
     assert got == want
+
+
+def test_multibatch_landing_is_range_ordered_and_multi_batch(spark):
+    """The registered stream_tumbling_multibatch query really runs one
+    micro-batch per landing file (cross-batch window/watermark state),
+    and the range split guarantees no cross-batch late data."""
+    from whisky_wine_etl_spark.streaming import pipelines as sp
+
+    landing = sp.multibatch_landing(spark, "/root/testdata/sf0.001", n_files=3)
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(landing, "part-*.parquet")))
+    assert len(parts) == 3
+    bounds = [
+        spark.read.parquet(p).agg(F.min("ts"), F.max("ts")).first() for p in parts
+    ]
+    for earlier, later in zip(bounds, bounds[1:], strict=False):
+        assert earlier[1] <= later[0]  # time-disjoint: nothing arrives late
+
+    s = sp.tumbling_counts(sp.file_events_stream(spark, landing, max_files_per_trigger=1))
+    q = (
+        s.writeStream.format("memory")
+        .queryName("mb_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    q.stop()
+    assert len(data_batches) == 3  # one micro-batch per file

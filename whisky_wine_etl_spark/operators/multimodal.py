@@ -7,25 +7,55 @@ Contract: a multimodal table carries
                      height int, n_frames int>
 and all heavy per-item work runs as Arrow-batched pandas over
 mapInPandas — the Spark-side plumbing (schema, batching, partition
-parallelism) is real; the actual codec call is stubbed because no
-image/audio library ships in this container (import-gated; a
-deterministic fake keeps the pipeline testable end-to-end).
+parallelism) is real. Two codec tiers:
 
-The synthetic payloads here are UTF-8 document bytes so every stage is
-deterministic and oracle-checkable where SQL can express it.
+- fake tier (synthesize_multimodal / resize_payload): UTF-8 document
+  bytes stand in for media so every stage is cheap and oracle-checkable
+  in plain SQL — the plumbing-only twin.
+- real tier (synthesize_bmp_corpus / resize_payload_real): actual
+  24-bit BMP images built, parsed, resampled and re-encoded by the
+  pure-Python codec in functions/bmp.py — no external image library
+  needed. Pixels are closed-form in (doc_id, x, y), so the decoded
+  statistics are still reproducible by the DuckDB oracle, while any
+  codec bug (row order, padding, truncation) shifts them.
+
+Formats beyond BMP (JPEG/PNG/audio/video) would go through PIL/libvips
+/ffmpeg, which this container does not ship — those decodes are
+import-gated (_decode_image) rather than faked.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whisky_wine_etl_spark.functions import bmp
+
 MM_META_SCHEMA = (
     "meta struct<modality:string,fmt:string,width:int,height:int,n_frames:int>"
 )
+
+
+def _package_root() -> str:
+    """Directory containing the whisky_wine_etl_spark package — shipped
+    into worker closures as a plain string (see _worker_bmp)."""
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# Worker-side codec import: mapInPandas closures must not capture the
+# bmp module (or any helper defined in this package) — cloudpickle
+# serializes module-level objects by NAME, so a driver whose cwd is
+# elsewhere (the external harness) ships references its Python workers
+# cannot import. Each closure instead carries the package root as a
+# plain string and runs this import dance in its own body; on a
+# multi-node cluster the same role is played by shipping the package
+# wheel via spark.submit.pyFiles.
 
 
 def synthesize_multimodal(docs: DataFrame) -> DataFrame:
@@ -47,16 +77,94 @@ def synthesize_multimodal(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes) -> bytes:
-    """Real decode would go through PIL/libvips — not in this
-    container. Import-gated stub."""
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    BMP decodes natively via the pure-Python codec (functions/bmp.py).
+    Other formats need PIL/libvips, which this container does not ship
+    — import-gated so the limitation fails loudly, not silently."""
+    if payload[:2] == b"BM":
+        return bmp.decode_bmp(payload)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL here
         raise NotImplementedError(
-            "image decode requires PIL; container ships without codecs"
+            "non-BMP decode requires PIL; container ships without codecs"
         ) from exc
-    raise NotImplementedError("real decode path not wired in this environment")
+    raise NotImplementedError("non-BMP decode path not wired in this environment")
+
+
+def synthesize_bmp_corpus(docs: DataFrame) -> DataFrame:
+    """Build a REAL image corpus from `documents`: one valid 24-bit BMP
+    per doc, dimensions 8–16 × 8–14 derived from doc_id, pixels the
+    closed-form functions in functions/bmp.py synth_pixels. Runs as
+    Arrow-batched mapInPandas — per-item byte assembly is inherently
+    Python work, the batch loop is the production codec shape."""
+    out_schema = "doc_id bigint, width int, height int, payload binary"
+    root = _package_root()
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:  # worker-side path bootstrap (see above)
+            sys.path.insert(0, root)
+        from whisky_wine_etl_spark.functions import bmp as codec
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + (d * 3) % 7
+                rows.append((d, w, h, codec.encode_bmp(codec.synth_pixels(d, w, h))))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"])
+
+    return docs.select("doc_id").mapInPandas(make, schema=out_schema)
+
+
+def resize_payload_real(
+    mm: DataFrame, target_w: int = 10, target_h: int = 10
+) -> DataFrame:
+    """REAL-codec resize: decode each BMP payload, nearest-neighbor
+    resample to exactly (target_w, target_h), re-encode, then decode
+    the re-encoded bytes again for the reported pixel_sum — so the
+    output statistics cover the full decode→resize→encode→decode
+    round trip. A row-order, padding, or truncation bug anywhere in
+    the codec shifts pixel_sum away from the oracle's closed form."""
+    out_schema = (
+        "doc_id bigint, width int, height int, n_bytes int,"
+        " pixel_sum bigint, payload binary"
+    )
+    root = _package_root()
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:  # worker-side path bootstrap (see above)
+            sys.path.insert(0, root)
+        from whisky_wine_etl_spark.functions import bmp as codec
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                out = codec.resize_nearest(
+                    codec.decode_bmp(bytes(payload)), target_w, target_h
+                )
+                enc = codec.encode_bmp(out)
+                roundtrip = codec.decode_bmp(enc)
+                rows.append(
+                    (
+                        int(doc_id),
+                        target_w,
+                        target_h,
+                        len(enc),
+                        int(roundtrip.astype(np.int64).sum()),
+                        enc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes", "pixel_sum", "payload"],
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(do_resize, schema=out_schema)
 
 
 def extract_features(mm: DataFrame, batch_hint: int = 10_000) -> DataFrame:

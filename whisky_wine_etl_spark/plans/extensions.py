@@ -363,3 +363,43 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("int").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+@query(
+    "mm_resize_real",
+    """
+WITH dims AS (
+  SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(8 + (doc_id * 3) % 7 AS BIGINT) AS h
+  FROM documents
+),
+grid AS (
+  SELECT gx.x AS xt, gy.y AS yt
+  FROM generate_series(0, 9) gx(x), generate_series(0, 9) gy(y)
+),
+px AS (
+  SELECT d.doc_id,
+         (d.doc_id*7  + ((xt*d.w)//10)*3  + ((yt*d.h)//10)*5) % 256
+       + (d.doc_id*11 + ((xt*d.w)//10)*13 + ((yt*d.h)//10))   % 256
+       + (d.doc_id*3  + ((xt*d.w)//10)    + ((yt*d.h)//10)*17) % 256 AS s
+  FROM dims d CROSS JOIN grid
+)
+SELECT doc_id, CAST(10 AS INT) AS width, CAST(10 AS INT) AS height,
+       CAST(374 AS INT) AS n_bytes, CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id
+""",
+)
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal resize: build a valid 24-bit BMP per doc
+    (pure-Python codec, functions/bmp.py), then decode → nearest-
+    resample to 10×10 → re-encode → decode again inside Arrow-batched
+    mapInPandas. The oracle reproduces the decoded pixel statistics
+    closed-form (pixels are functions of doc_id,x,y and the nearest
+    index arithmetic is floor(x·w/10)), so the value-hash pins the
+    whole codec round trip: a padding, row-order, or truncation bug
+    shifts pixel_sum. n_bytes = 54 header + 10 rows × 32-byte stride
+    (30 pixel bytes padded to 4-byte alignment) — padding is live in
+    the checked output."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = mm.resize_payload_real(mm.synthesize_bmp_corpus(docs))
+    return resized.select("doc_id", "width", "height", "n_bytes", "pixel_sum")

@@ -41,6 +41,39 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tumbling_multibatch",
+    """
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTES AS wm FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
+         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS wend,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(value), 4) AS sum_value
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT wstart, wend, event_type, n, sum_value
+FROM agg, m WHERE wend <= m.wm
+""",
+)
+def stream_tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-batch streaming under the oracle's eye: events split into
+    3 time-range files (multibatch_landing), streamed one file per
+    micro-batch — tumbling-window state and the watermark must carry
+    across batches. Run in APPEND mode, so only windows the final
+    watermark closed are emitted; because the files are range-ordered
+    nothing arrives late, making the emitted set exactly closed-form:
+    all 1 h windows with wend <= max(ts) - 10 min. A full value-hash
+    check on genuine cross-batch state — stronger than the rows-only
+    carve-out (late-data DROPS, which need disordered files, stay in
+    tests/test_streaming.py)."""
+    landing = sp.multibatch_landing(spark, sf_dir, n_files=3)
+    s = sp.tumbling_counts(sp.file_events_stream(spark, landing, max_files_per_trigger=1))
+    return sp.run_to_memory(spark, s, "append")
+
+
+@query(
     "stream_sliding_1h_30m",
     """
 WITH s AS (

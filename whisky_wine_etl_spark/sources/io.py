@@ -136,7 +136,18 @@ def write_jdbc_append(
     Replaces the reference's row-at-a-time `to_sql` with Spark's
     batched, partition-parallel JDBC writer: each of `num_partitions`
     tasks opens one connection and executes `batchsize`-row inserts.
-    `column_types` ↦ createTableColumnTypes (reference dtype map)."""
+    `column_types` ↦ createTableColumnTypes (reference dtype map).
+
+    VERIFIED DIALECT: Derby (embedded — the only JDBC engine in this
+    container; round-trip tests in tests/test_sources.py). The
+    reference's actual sink is Postgres (wine_etl_kaggle.py:167-204);
+    the code path is dialect-generic — Spark's PostgresDialect maps
+    the same `column_types` DDL (STRING→TEXT, FLOAT→real, SMALLINT
+    kept) and, unlike Derby's CLOB mapping, accepts null strings into
+    VARCHAR — but no Postgres server exists here, so that rendering is
+    asserted only by documented expectation, not an integration test.
+    Before first production use against Postgres, run the
+    tests/test_sources.py round-trip against a real instance."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)

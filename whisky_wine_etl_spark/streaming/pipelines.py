@@ -64,6 +64,47 @@ def file_events_stream(
     return reader.parquet(directory)
 
 
+def multibatch_landing(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Split the events table into `n_files` time-range-partitioned
+    parquet files in a landing dir, mtime-staggered so the file stream
+    source (which orders by modification time) processes them oldest
+    time range first. With maxFilesPerTrigger=1 each file becomes its
+    own micro-batch: state (windows, watermark) must carry across
+    batches, which is exactly what single-batch runs can't exercise.
+
+    Range partitioning by ts means max(ts in batch k) <= min(ts in
+    batch k+1): no row ever arrives behind the watermark, so nothing
+    is dropped and the multi-batch append-mode result stays exactly
+    oracle-computable (see stream_tumbling_multibatch)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "sg_multibatch_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ev = (
+            spark.read.schema(EVENTS_RAW_DDL)
+            .parquet(os.path.join(sf_dir, "events.parquet"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+        ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(dest)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    # part file names sort in range order; pin mtimes a minute apart so
+    # the source's (mtime, path) ordering is unambiguous
+    base = 1_700_000_000
+    for i, path in enumerate(sorted(glob.glob(os.path.join(dest, "part-*.parquet")))):
+        os.utime(path, (base + 60 * i, base + 60 * i))
+    return dest
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
