@@ -49,6 +49,8 @@ HEADLINE = [
     "sim_topk_bruteforce",            # exact cosine top-k over embeddings
     "sim_topk_ivf",                   # IVF ANN index build + probe (Arrow)
     "text_tfidf_top_terms",           # tokenize + explode + tf-idf + topk
+    "corpus_decontaminate",           # train/eval n-gram overlap removal
+    "corpus_pack_sequences",          # two-pass distributed sequence packing
     "text_chunk_overlap",             # sliding-window token chunking
     "join_range_binned_attribution",  # interval join as binned equi-join
     "merge_scd2_segment",             # SCD2 dimension maintenance

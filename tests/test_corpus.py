@@ -1,0 +1,137 @@
+"""Corpus-shaping operator tests: semantics + the plan shapes that
+make them safe at scale. Oracle parity for all six registered queries
+is covered by tests/test_oracle_parity.py; these pin the properties
+the SQL compare can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.operators import corpus as cp
+from whisky_wine_etl_spark import plans
+
+plans.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_removes_exactly_overlapping_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # shares 5-gram "a b c d e" with eval
+            (2, "x y z w v u t"),        # clean
+            (3, "c d e f g h"),          # 5-grams overlap doc 10's tail? no
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(10, "q a b c d e")], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in cp.decontaminate(docs, eval_set, n=5).collect()}
+    assert kept == {2, 3}
+
+
+def test_decontaminate_uses_semi_and_anti_joins(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = cp.decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+    )
+    plan = _plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan  # never all-pairs
+
+
+def test_quality_gate_flags_repetitive_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 49 + "spam"),          # one token = 100% of mass
+            (2, " ".join(f"w{i} x{i} other{i}" for i in range(10))),  # varied
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cp.quality_gate(docs).collect()}
+    assert got[1].passes_gate is False and got[1].top_tf == 50
+    assert got[2].passes_gate is True
+    assert got[2].n_tokens == 30 and got[2].n_unique == 30
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.io or call 555-1234 now"), (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cp.redact_pii(docs).collect()}
+    assert (got[1].n_emails, got[1].n_phones) == (1, 1)
+    assert (got[2].n_emails, got[2].n_phones) == (0, 0)
+    import hashlib
+
+    want = hashlib.md5(b"mail <EMAIL> or call <PHONE> now").hexdigest()
+    assert got[1].redacted_md5 == want
+
+
+def test_mixture_sample_filter_reaches_scan(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(cp.mixture_sample(docs, {"en": 40}, default_pct=100))
+    assert "Exchange" not in plan  # pure scan→filter, no shuffle
+    # per-domain rates actually differ
+    out = cp.mixture_sample(docs, {"en": 0}, default_pct=100)
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs and len(langs) >= 2
+
+
+def test_pack_sequences_is_contiguous_tape(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    rows = sorted(
+        cp.pack_sequences(docs, budget=256, count_col="n_tokens").collect(),
+        key=lambda r: r.doc_id,
+    )
+    tape = 0
+    for r in rows:
+        assert r.seq_id == tape // 256 and r.seq_offset == tape % 256
+        tape += r.n_tokens
+
+
+def test_pack_sequences_avoids_global_window(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    plan = _plan(cp.pack_sequences(docs, budget=256, count_col="n_tokens"))
+    # the scale trap would appear as Exchange SinglePartition feeding a Window
+    assert "SinglePartition" not in plan
+
+
+def test_global_shuffle_is_permutation(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = cp.global_shuffle(docs, n_shards=8).collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) == set(range(8))
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_decontaminate",
+        "corpus_quality_gate",
+        "corpus_pii_redact",
+        "corpus_mixture_sample",
+        "corpus_pack_sequences",
+        "corpus_global_shuffle",
+    ],
+)
+def test_corpus_queries_stay_jvm_side(spark, name):
+    plan = _plan(plans.QUERIES[name](spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # and no pandas UDFs either

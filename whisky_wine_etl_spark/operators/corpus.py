@@ -1,0 +1,294 @@
+"""Corpus-shaping operators for a large-scale training-data pipeline:
+decontamination, heuristic quality gates, PII redaction, domain
+mixture sampling, sequence packing, and deterministic global shuffle.
+
+These are the steps between "raw deduped documents" and "training
+shards". Design rules, same as the rest of the engine:
+
+- every decision is a pure function of the data (no RNG, no driver
+  state), so reruns and backfills are stable and a SQL oracle can
+  verify the exact output;
+- everything stays JVM-side in built-in expressions; the only
+  shuffles are the ones the semantics require (one hash-join for
+  decontamination, one tf-shuffle for the quality gate, one range /
+  hash shuffle for packing and shuffling);
+- nothing is collected to the driver except O(num_partitions)
+  bookkeeping (the packing prefix sums — same two-pass pattern as
+  operators/keys.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.operators.sampling import hash_bucket
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def ngram_shingles(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (one row per
+    (doc, shingle)): tokenize once, slide with `sequence` + `slice`.
+    Narrow until the explode; no Python."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, greatest(size(__toks) - {n - 1}, 1)),"
+                    f" i -> array_join(slice(__toks, i, {n}), ' ')))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove from `train` every document sharing at least one word
+    n-gram with `eval_set` — the standard benchmark-decontamination
+    step (the published recipes use 8–13-gram overlap; `n` is the
+    knob).
+
+    Shape: shingle both sides, LEFT SEMI join train-shingles against
+    distinct eval-shingles to find contaminated ids, LEFT ANTI join
+    back. Two hash shuffles on `shingle`/`id`; the eval side is
+    usually benchmark-sized, so AQE broadcasts it and the train side
+    never shuffles for the probe. At 100 TB, map shingles to 64-bit
+    hashes (xxhash64) before the join to cut shuffle width — kept as
+    raw strings here so the oracle's equality is byte-exact."""
+    train_sh = ngram_shingles(train, n, text_col, id_col)
+    eval_sh = ngram_shingles(eval_set, n, text_col, id_col).select("shingle").distinct()
+    contaminated = train_sh.join(eval_sh, "shingle", "left_semi").select(id_col).distinct()
+    return train.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# quality gate (Gopher/C4-style repetition & shape heuristics)
+
+
+def quality_gate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Repetition/shape heuristics in the Gopher & C4 family: token
+    count bounds, mean word length bounds, top-single-token mass,
+    duplicate-bigram mass. Emits the raw integer features plus the
+    gate verdict.
+
+    All comparisons are integer cross-multiplications (mean length in
+    [3, 10] ⇔ 3·n ≤ sum_len ≤ 10·n), so the output carries no rounded
+    quotient anywhere — exact across engines by construction.
+
+    Shape: one explode→groupBy per feature family (unigram tf,
+    bigram tf), joined on doc id — two shuffles, fully partial-agg'd.
+    The all-array alternative (no shuffle) is O(tokens²) per doc via
+    nested `filter`, which dies on 10k-token documents; explode keeps
+    per-row work linear at any document length."""
+    toks = F.split(F.col(text_col), " ")
+    uni = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max("tf").alias("top_tf"),
+            F.sum(F.length("term") * F.col("tf")).alias("sum_len"),
+        )
+    )
+    bi = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 1, 1)),"
+                    f" i -> array_join(slice(split({text_col}, ' '), i, 2), ' '))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.when(F.col("tf") > 1, F.col("tf")).otherwise(0)).alias("dup_bigram_mass"),
+        )
+    )
+    out = uni.join(bi, id_col)
+    passes = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("sum_len") >= 3 * F.col("n_tokens"))
+        & (F.col("sum_len") <= 10 * F.col("n_tokens"))
+        & (5 * F.col("top_tf") <= F.col("n_tokens"))  # top token < 20% of mass
+        & (2 * F.col("dup_bigram_mass") <= F.col("n_bigrams"))  # dup bigrams < 50%
+    )
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_unique").cast("bigint").alias("n_unique"),
+        F.col("top_tf").cast("bigint").alias("top_tf"),
+        F.col("sum_len").cast("bigint").alias("sum_len"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("dup_bigram_mass").cast("bigint").alias("dup_bigram_mass"),
+        passes.alias("passes_gate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# [.] instead of \\. : literal-dot via character class needs no escape
+# processing, so the pattern is byte-identical as a Python string, a
+# Spark SQL literal, and a DuckDB literal
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub email addresses and phone-shaped numbers, reporting match
+    counts and an md5 of the redacted text (pins the exact bytes
+    without shipping the text through the compare).
+
+    The patterns stay in the Java-regex ∩ RE2 common subset (explicit
+    classes, no backrefs/lookaround) so the DuckDB oracle computes the
+    identical redaction. Narrow projection — regexp_replace/extract_all
+    run inside codegen, no shuffle, no Python."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        id_col,
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{EMAIL_RE}', 0)"))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{PHONE_RE}', 0)"))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixture sampling
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-domain deterministic downsampling — the mixture-weighting
+    step that balances a corpus (e.g. cap English at 40%, keep all
+    low-resource languages). A document's fate is a pure function of
+    (key hash, its domain's rate): rerun-stable, engine-independent,
+    and the filter is plain codegen arithmetic on the scan — no
+    shuffle, no RNG, no driver state."""
+    rate = F.lit(default_pct)
+    for dom, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(key_col, 100) < rate)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    count_col: str,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in `order_col`
+    order are laid head-to-tail on one global token tape; training
+    sequence k owns tape positions [k·budget, (k+1)·budget). Each doc
+    reports the sequence its FIRST token lands in and its offset
+    there — the standard "pack to fixed context length" shaping step.
+
+    The naive formulation is a global running sum
+    (`sum() OVER (ORDER BY ...)` with no partition) — one task sees
+    every row. This uses the same two-pass range-partition pattern as
+    operators/keys.py: range-shuffle by order key, per-partition
+    partial sums (parallel), O(partitions) driver prefix-sum of the
+    partition totals, broadcast the offsets back. localCheckpoint pins
+    the sampled range boundaries so both passes see identical
+    partitioning."""
+    from pyspark.sql import Window as W
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(count_col).alias("__t"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += r["__t"]
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum(count_col).over(w) - F.col(count_col) + F.col("__off")).cast("long")
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("__start", start)
+        .select(
+            order_col,
+            F.col(count_col).cast("bigint").alias(count_col),
+            # integer div, not float-divide-and-floor: exact at any tape length
+            F.expr(f"__start div {budget}").cast("bigint").alias("seq_id"),
+            (F.col("__start") % budget).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle
+
+
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudorandom permutation into training shards:
+    shard = hash(key) mod n_shards, position = rank by (hash, key)
+    within the shard. Exactly Spark's native shape — one hash shuffle
+    on shard + sortWithinPartitions — so it scales as a single
+    exchange; no global sort, no driver involvement. The multiplicative
+    hash makes the permutation rerun-stable and oracle-checkable (the
+    same hash is pure int64 arithmetic in any engine)."""
+    from pyspark.sql import Window as W
+
+    h = hash_bucket(key_col, 1_000_000_007)
+    w = W.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )

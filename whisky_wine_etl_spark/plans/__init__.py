@@ -12,6 +12,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from whisky_wine_etl_spark.plans import (  # noqa: F401
         advanced,
+        corpus,
         dedup,
         etl_patterns,
         extensions,

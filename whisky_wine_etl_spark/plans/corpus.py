@@ -1,0 +1,201 @@
+"""Corpus-shaping query plans: the training-data pipeline steps
+between deduped documents and training shards — decontamination,
+quality gating, PII redaction, mixture sampling, sequence packing,
+global shuffle. Every entry has an exact DuckDB oracle (all the
+operators are deterministic by design — see operators/corpus.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.operators import corpus as cp
+from whisky_wine_etl_spark.operators.sampling import hash_bucket_sql
+from whisky_wine_etl_spark.plans.registry import query
+
+
+@query(
+    "corpus_decontaminate",
+    """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i+4], ' ') AS shingle
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i) i(i)
+),
+bad AS (
+  SELECT DISTINCT t.doc_id
+  FROM sh t
+  JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0) e USING (shingle)
+  WHERE t.doc_id % 10 <> 0
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 10th document plays the eval
+    set; training documents sharing any word 5-gram with it are
+    dropped. Semi-join on shingle (AQE broadcasts the benchmark-sized
+    eval side), anti-join back — never an all-pairs comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    return cp.decontaminate(train, eval_set, n=5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "corpus_quality_gate",
+    """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+uni AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_unique,
+         CAST(MAX(tf) AS BIGINT) AS top_tf,
+         CAST(SUM(len(term) * tf) AS BIGINT) AS sum_len
+  FROM tf GROUP BY doc_id
+),
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bigrams AS (
+  SELECT doc_id, array_to_string(toks[i.i:i.i+1], ' ') AS bigram
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i) i(i)
+),
+btf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM bigrams GROUP BY 1, 2),
+bi AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN tf > 1 THEN tf ELSE 0 END) AS BIGINT) AS dup_bigram_mass
+  FROM btf GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_tokens, u.n_unique, u.top_tf, u.sum_len,
+       b.n_bigrams, b.dup_bigram_mass,
+       (u.n_tokens >= 10 AND u.sum_len >= 3 * u.n_tokens
+        AND u.sum_len <= 10 * u.n_tokens AND 5 * u.top_tf <= u.n_tokens
+        AND 2 * b.dup_bigram_mass <= b.n_bigrams) AS passes_gate
+FROM uni u JOIN bi b USING (doc_id)
+""",
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition gate. All verdict arithmetic is
+    integer cross-multiplication — no rounded quotient anywhere, so
+    the comparison is exact by construction."""
+    return cp.quality_gate(load_table(spark, sf_dir, "documents"))
+
+
+_PII_TEXT_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "corpus_pii_redact",
+    f"""
+WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{cp.EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{cp.PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{cp.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{cp.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM p
+""",
+)
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with deterministically injected email +
+    phone tokens (the corpus itself is synthetic and PII-free — the
+    injection makes the redaction path observable). Patterns live in
+    the Java-regex ∩ RE2 common subset; the md5 pins the exact
+    redacted bytes against the oracle's identical replacement."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return cp.redact_pii(with_pii)
+
+
+_MIX_RATES = {"de": 100, "en": 40, "fr": 75, "zh": 50}  # es → default 25
+
+
+@query(
+    "corpus_mixture_sample",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {hash_bucket_sql("doc_id", 100)} <
+      CASE lang WHEN 'de' THEN 100 WHEN 'en' THEN 40
+                WHEN 'fr' THEN 75 WHEN 'zh' THEN 50 ELSE 25 END
+""",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture weighting: keep all German, 40% of English, 75%
+    French, 50% Chinese, 25% anything else — per-document fate is a
+    pure hash function, so the mixture is rerun-stable and the filter
+    is scan-level codegen arithmetic (no shuffle, no RNG)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.mixture_sample(docs, _MIX_RATES, default_pct=25).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(start // 256 AS BIGINT) AS seq_id,
+       CAST(start % 256 AS BIGINT) AS seq_offset
+FROM c
+""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 256-token training sequences.
+    The oracle is the naive global window; the Spark plan is the
+    scalable two-pass range-partition prefix sum (operators/corpus.py
+    pack_sequences) — same numbers, no single-task sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return cp.pack_sequences(docs, budget=256, count_col="n_tokens")
+
+
+@query(
+    "corpus_global_shuffle",
+    f"""
+WITH h AS (
+  SELECT doc_id, {hash_bucket_sql("doc_id", 1_000_000_007)} AS hh FROM documents
+)
+SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT)
+         AS shard_pos
+FROM h
+""",
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: one hash
+    exchange + in-partition sort (Spark's native shape), position
+    reproducible across engines via the multiplicative hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.global_shuffle(docs, n_shards=8).select("doc_id", "shard", "shard_pos")
