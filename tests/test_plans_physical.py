@@ -122,3 +122,27 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    """Q6 is the canonical pushdown query: every predicate (date range,
+    discount band, quantity cap) must reach the parquet scan, and the
+    scan must read only the four columns the query touches."""
+    plan = _formatted(plans.QUERIES["q6_revenue_forecast"](spark, SF))
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = (
+        plans.QUERIES["q22_idle_customers"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row avg-balance cutoff

@@ -18,5 +18,6 @@ def load_all() -> None:
         extensions,
         relational,
         streaming_twins,
+        tpch_shapes,
         wine,
     )
