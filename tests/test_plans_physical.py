@@ -146,3 +146,37 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     )
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row avg-balance cutoff
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """100 TB posture: a skewed fact-fact join must not serialize into
+    one giant task — AQE's skew-join handling splits oversized
+    partitions at runtime. Thresholds are lowered so the synthetic hot
+    key (95% of rows) crosses them at test scale; the assertion is the
+    `skew=true` marker in the final adaptive plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        df = left.join(right, "k")
+        df.collect()  # the skew split only exists in the FINAL adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

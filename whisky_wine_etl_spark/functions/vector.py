@@ -48,3 +48,19 @@ def cosine_pandas_udf():
         return pd.Series(num / den)
 
     return cos
+
+def centroid_pandas_udf():
+    """Grouped-aggregation pandas UDF (the Spark UDAF surface):
+    element-wise mean of an embedding column per group, one Arrow
+    batch per group. Sums run in float64 sequentially over rows (axis
+    0), matching the oracle's per-dimension AVG to well under the 6-dp
+    rounding the caller applies. This is the UDAF carve-out companion
+    to cosine_pandas_udf's scalar form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def centroid(v: pd.Series) -> list:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        return [float(t) for t in x.mean(axis=0)]
+
+    return centroid

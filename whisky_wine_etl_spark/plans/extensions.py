@@ -281,6 +281,37 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.regex_tokens(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "udaf_embedding_centroid",
+    """
+SELECT CAST(vec_id % 8 AS BIGINT) AS grp, CAST(g.i AS INT) AS dim_idx,
+       ROUND(AVG(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS centroid_val
+FROM embeddings, (SELECT unnest(range(0, 64)) AS i) g(i)
+GROUP BY 1, 2
+""",
+)
+def udaf_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function surface: per-group embedding
+    centroid via a grouped-agg @pandas_udf (Arrow batch per group,
+    float64 numpy mean), flattened with posexplode so the oracle
+    compares one scalar per (group, dimension). At scale this is the
+    shape of learned-index / cluster-centroid maintenance jobs: one
+    hash shuffle on the group key, Arrow transfer bounded by group
+    count × dim."""
+    from whisky_wine_etl_spark.functions.vector import centroid_pandas_udf
+
+    centroid = centroid_pandas_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    agg = emb.groupBy((F.col("vec_id") % 8).cast("bigint").alias("grp")).agg(
+        centroid("embedding").alias("c")
+    )
+    return agg.select("grp", F.posexplode("c").alias("dim_idx", "v")).select(
+        "grp",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("v", 6).alias("centroid_val"),
+    )
+
+
 @query("sim_topk_ivf")  # ANN recall is probabilistic → rows-only driver check
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
