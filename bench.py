@@ -52,6 +52,8 @@ HEADLINE = [
     "corpus_decontaminate",           # train/eval n-gram overlap removal
     "corpus_pack_sequences",          # two-pass distributed sequence packing
     "text_chunk_overlap",             # sliding-window token chunking
+    "q8_market_share",                # deepest dim snowflake (7 joins)
+    "q21_waiting_suppliers",          # EXISTS/NOT-EXISTS → semi + anti
     "join_range_binned_attribution",  # interval join as binned equi-join
     "merge_scd2_segment",             # SCD2 dimension maintenance
     "rollup_incremental_day",         # hourly partials → daily rollup

@@ -180,3 +180,27 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_q8_snowflake_broadcasts_all_dims(spark):
+    """Q8's five dims (part, customer, supplier, 2× nation, region)
+    must all broadcast — only the lineitem⋈orders fact edge may
+    shuffle. A SortMergeJoin anywhere means a dim grew a shuffle."""
+    df = plans.QUERIES["q8_market_share"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 6 explicit dim broadcasts; at tiny SF the planner may broadcast
+    # the orders fact edge too (7th) — that one is allowed to shuffle
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+    # fact-fact edge + final agg are the only hash exchanges
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must compile to one LeftSemi and
+    one LeftAnti join — no correlated re-scan, no cartesian."""
+    df = plans.QUERIES["q21_waiting_suppliers"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
