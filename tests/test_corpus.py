@@ -135,3 +135,62 @@ def test_corpus_queries_stay_jvm_side(spark, name):
     plan = _plan(plans.QUERIES[name](spark, SF_SMALL))
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "ArrowEvalPython" not in plan  # and no pandas UDFs either
+
+
+def test_token_budget_keeps_greedy_prefix_and_crossing_doc(spark):
+    """Docs are taken in hash order per domain until the budget line;
+    the doc whose first token is under the line is kept WHOLE even if
+    it crosses (epoch semantics, not truncation)."""
+    docs = spark.createDataFrame(
+        [(i, "en", 10) for i in range(1, 9)] + [(100, "fr", 10)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = cp.token_budget_sample(docs, budget=35, count_col="n_tokens").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # 10-token docs, budget 35 → starts 0,10,20,30 qualify = exactly 4 docs
+    assert len(by_lang["en"]) == 4
+    assert sorted(r.tape_start for r in by_lang["en"]) == [0, 10, 20, 30]
+    # the 4th doc's tape crosses 35 but its start (30) is under the line
+    assert max(r.tape_start for r in by_lang["en"]) == 30
+    # fr has its own independent tape
+    assert [r.tape_start for r in by_lang["fr"]] == [0]
+
+
+def test_token_budget_windows_are_bucketed_not_domain_wide(spark):
+    """The scalable formulation must never window by domain alone —
+    every window spec carries the bucket column too."""
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    df = cp.token_budget_sample(docs, budget=2500)
+    plan = _plan(df)
+    row_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "n_tokens" in ln
+    ]
+    assert row_windows, "expected a running-sum window over n_tokens"
+    assert all("__b" in ln for ln in row_windows)
+
+
+def test_repeat_upsample_multiplicity(spark):
+    docs = spark.createDataFrame(
+        [(1, "es"), (2, "zh"), (3, "en")], "doc_id long, lang string"
+    )
+    rows = cp.repeat_upsample(docs, {"es": 3, "zh": 2}).collect()
+    counts = {}
+    for r in rows:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert counts == {1: 3, 2: 2, 3: 1}
+    assert sorted(r.copy_idx for r in rows if r.doc_id == 1) == [1, 2, 3]
+
+
+def test_bigram_lm_rank_is_deterministic_on_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "b b a a b b"), (2, "en", "a a b b a a")],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r.bigram, r.rnk) for r in cp.bigram_lm_topk(docs, k=3).collect()}
+    # "a a" and "b b" tie on count; lexicographic break puts "a a" first
+    ranks = dict(out)
+    assert ranks["a a"] < ranks["b b"]

@@ -292,3 +292,131 @@ def global_shuffle(
         .withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .drop("__h")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-domain token-budget sampling
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy per-domain token-budget cap: documents are laid on a
+    per-domain tape in deterministic hash order, and a document is
+    kept iff its first token lands under `budget` (so the doc that
+    crosses the line is kept whole — epoch semantics, not truncation).
+    This is the "cap every domain at N tokens" step of mixture
+    building, expressed as a pure function of the data.
+
+    Shape (the 100 TB part): the naive form is a running sum
+    partitioned only by domain — a handful of giant window partitions.
+    Instead the hash space is cut into `n_buckets` contiguous ranges
+    (bucket = hash div width, monotone in the hash, so per-bucket
+    order concatenates to the global per-domain order): per-(domain,
+    bucket) token masses — a domains × n_buckets frame — get a tiny
+    window prefix-sum, broadcast back as offsets, and the per-row
+    running sum is windowed by (domain, bucket). No partition ever
+    exceeds 1/n_buckets of a domain; same two-pass pattern as
+    pack_sequences but with zero driver involvement."""
+    from pyspark.sql import Window as W
+
+    m = 1_000_000_007
+    width = (m + n_buckets - 1) // n_buckets
+    d = df.withColumn("__h", hash_bucket(key_col, m)).withColumn(
+        "__b", F.expr(f"__h div {width}").cast("int")
+    )
+    parts = d.groupBy(domain_col, "__b").agg(F.sum(count_col).alias("__t"))
+    w0 = (
+        W.partitionBy(domain_col)
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off = parts.select(
+        domain_col,
+        "__b",
+        (F.sum("__t").over(w0) - F.col("__t")).cast("long").alias("__off"),
+    )
+    w1 = (
+        W.partitionBy(domain_col, "__b")
+        .orderBy("__h", key_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum(count_col).over(w1) - F.col(count_col) + F.col("__off")).cast("long")
+    return (
+        d.join(F.broadcast(off), [domain_col, "__b"])
+        .withColumn("tape_start", start)
+        .filter(F.col("tape_start") < budget)
+        .drop("__h", "__b", "__off")
+    )
+
+
+# ---------------------------------------------------------------------------
+# low-resource upsampling (epoch repetition)
+
+
+def repeat_upsample(
+    df: DataFrame,
+    epochs: dict[str, int],
+    domain_col: str = "lang",
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Repeat low-resource domains for multiple training epochs (the
+    standard counterweight to capping high-resource ones): each row is
+    emitted `epochs[domain]` times with a 1-based `copy_idx`. Pure
+    narrow explode over a generated sequence — no shuffle, no RNG, and
+    the multiplicity is visible in the output so shard writers can
+    interleave copies deterministically."""
+    e = F.lit(default_epochs)
+    for dom, n in sorted(epochs.items()):
+        e = F.when(F.col(domain_col) == dom, F.lit(n)).otherwise(e)
+    return df.withColumn("copy_idx", F.explode(F.sequence(F.lit(1), e)))
+
+
+# ---------------------------------------------------------------------------
+# count-based bigram LM table
+
+
+def bigram_lm_topk(
+    df: DataFrame,
+    k: int = 20,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-k bigram count table per domain — the aggregation behind
+    count-based LM scoring / domain-signature features. Integer counts
+    only (consumers divide; no rounded quotient crosses the engine
+    boundary), ties broken lexicographically so the top-k set is
+    deterministic.
+
+    Shape: explode bigrams → one (domain, bigram) hash agg (partial +
+    final), then a per-domain rank window. The window frame is
+    vocabulary-sized, not corpus-sized; at 100 TB raise `min_count` so
+    the HAVING-style prefilter bounds the ranked frame before the
+    window's sort."""
+    from pyspark.sql import Window as W
+
+    bigrams = df.select(
+        F.col(domain_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 1, 1)),"
+                f" i -> array_join(slice(split({text_col}, ' '), i, 2), ' '))"
+            )
+        ).alias("bigram"),
+    )
+    counts = (
+        bigrams.groupBy(domain_col, "bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    w = W.partitionBy(domain_col).orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

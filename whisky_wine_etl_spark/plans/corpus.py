@@ -199,3 +199,82 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across engines via the multiplicative hash."""
     docs = load_table(spark, sf_dir, "documents")
     return cp.global_shuffle(docs, n_shards=8).select("doc_id", "shard", "shard_pos")
+
+
+@query(
+    "corpus_token_budget",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {hash_bucket_sql("doc_id", 1_000_000_007)} AS hh
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hh, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tape_start
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, CAST(tape_start AS BIGINT) AS tape_start
+FROM c WHERE tape_start < 2500
+""",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every language at 2500 training tokens, taken in
+    deterministic hash order. The oracle is the naive per-domain
+    global window; the Spark plan is the bucketed two-level prefix sum
+    (operators/corpus.py token_budget_sample) whose largest window
+    partition is 1/64th of a domain — same numbers, no
+    domain-sized window task."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return cp.token_budget_sample(docs, budget=2500).select(
+        "doc_id", "lang", "n_tokens", "tape_start"
+    )
+
+
+@query(
+    "corpus_repeat_upsample",
+    """
+SELECT doc_id, lang, CAST(g.i AS INT) AS copy_idx
+FROM documents, LATERAL (
+  SELECT unnest(range(1, CASE lang WHEN 'es' THEN 3 WHEN 'zh' THEN 2 ELSE 1 END + 1)) AS i
+) g(i)
+""",
+)
+def corpus_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling for low-resource languages: Spanish ×3,
+    Chinese ×2, everything else ×1 — the counterweight to the
+    token-budget cap. Narrow generated-sequence explode; the copy
+    index rides along so downstream shuffling interleaves epochs
+    deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.repeat_upsample(docs, {"es": 3, "zh": 2}).select(
+        "doc_id", "lang", "copy_idx"
+    )
+
+
+@query(
+    "corpus_bigram_lm",
+    """
+WITH tk AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT lang, array_to_string(toks[i.i:i.i+1], ' ') AS bigram
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i) i(i)
+),
+ct AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+rk AS (SELECT lang, bigram, cnt,
+              CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS INT)
+                AS rnk
+       FROM ct)
+SELECT lang, bigram, cnt, rnk FROM rk WHERE rnk <= 20
+""",
+)
+def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-20 bigram count table (count-based LM /
+    domain-signature features). Counts stay integers across the
+    engine boundary; lexicographic tie-break pins the top-k set."""
+    return cp.bigram_lm_topk(load_table(spark, sf_dir, "documents"), k=20).select(
+        "lang", "bigram", "cnt", "rnk"
+    )
