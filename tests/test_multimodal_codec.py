@@ -87,3 +87,32 @@ def test_spark_real_resize_pipeline(spark):
         assert r.n_bytes == bmp.bmp_size(10, 10) == 374
         assert r.pixel_sum == int(expect.astype(np.int64).sum())
         assert bytes(r.payload) == bmp.encode_bmp(expect)
+
+
+def test_binary_file_source_roundtrips_bmp_corpus(spark, tmp_path):
+    """Ingestion end-to-end: BMP payloads written as individual files,
+    landed via the binaryFile source, decoded with the real codec —
+    the full image-pipeline entry path (files → binary rows → decode).
+    Non-BMP junk in the landing dir is excluded by the glob during
+    listing, not post-read."""
+    from whisky_wine_etl_spark.sources.io import read_binary_dir
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    expected = {}
+    for d in (3, 7, 11):
+        w, h = 8 + d % 9, 8 + (d * 3) % 7
+        payload = bmp.encode_bmp(bmp.synth_pixels(d, w, h))
+        (land / f"img_{d}.bmp").write_bytes(payload)
+        expected[f"img_{d}.bmp"] = (len(payload), w, h)
+    (land / "notes.txt").write_text("not an image")
+
+    df = read_binary_dir(spark, str(land), glob="*.bmp")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3  # txt filtered at listing time
+    for r in rows:
+        name = r.path.rsplit("/", 1)[-1]
+        n_bytes, w, h = expected[name]
+        assert r.length == n_bytes
+        px = bmp.decode_bmp(bytes(r.content))
+        assert px.shape == (h, w, 3)

@@ -204,3 +204,29 @@ def test_q21_decorrelates_to_semi_and_anti(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB posture: when a selective filter sits on one side of a
+    fact-fact shuffle join, Spark's runtime bloom filter (on by
+    default in Spark 4) should be injected on the probe side so most
+    rows die at the scan instead of crossing the shuffle. At test
+    scale broadcast joins normally pre-empt this — the test forces the
+    shuffle-join path and drops the application-side size floor to
+    observe the injection itself."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter("o_totalprice > 400000")
+        df = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized  # bloom probe injected on lineitem side
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -377,3 +377,65 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     return add_surrogate_key(c, ["c_custkey"]).select("c_custkey", "sk")
+
+
+# ---------------------------------------------------------------------------
+# Time-series regularization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_resample_ffill_1h",
+    """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_ts
+  FROM events
+),
+ranked AS (
+  SELECT user_id, bucket_ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket_ts
+                            ORDER BY sec DESC, event_id DESC) AS rn
+  FROM e
+),
+counts AS (
+  SELECT user_id, bucket_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1, 2
+),
+per_bucket AS (
+  SELECT c.user_id, c.bucket_ts, c.n_events, r.value AS last_v
+  FROM counts c JOIN ranked r
+    ON c.user_id = r.user_id AND c.bucket_ts = r.bucket_ts AND r.rn = 1
+),
+rng AS (SELECT user_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx FROM e GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(g.b AS BIGINT) AS bucket_ts
+  FROM rng, LATERAL (SELECT unnest(range(mn, mx + 3600, 3600)) AS b) g(b)
+)
+SELECT g.user_id, g.bucket_ts,
+       COALESCE(p.n_events, 0) AS n_events,
+       ROUND(LAST_VALUE(p.last_v IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket_ts
+                     ROWS UNBOUNDED PRECEDING), 2) AS value_ffill
+FROM grid g LEFT JOIN per_bucket p
+  ON g.user_id = p.user_id AND g.bucket_ts = p.bucket_ts
+""",
+)
+def ts_resample_ffill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style regularization: the irregular event stream
+    becomes a gap-free per-user hourly grid — bucket event counts
+    (0 where nothing happened) and the last observed value carried
+    forward. Grid rows are generated distributed (sequence+explode
+    per user); the fill window is sized by time span, not traffic."""
+    from whisky_wine_etl_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(ev, step_sec=3600)
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_events",
+        F.round("value_ffill", 2).alias("value_ffill"),
+    )

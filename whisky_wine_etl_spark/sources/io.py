@@ -232,3 +232,23 @@ def compact_parquet(
     # coalesce, not repartition: merging files needs no shuffle
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal ingestion: each file becomes
+    one row (path, modificationTime, length, content binary) — the
+    standard landing shape for image/audio/video payloads before the
+    mapInPandas decode stages (operators/multimodal.py).
+
+    Scale notes: the source splits by FILE, so millions of small
+    objects parallelize naturally but each file must fit in one task —
+    cap individual payloads (spark.sql.sources.binaryFile.maxLength
+    guards at 2 GiB) and compact tiny objects upstream. `glob` maps to
+    pathGlobFilter so extension filtering happens during listing, not
+    after read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
