@@ -420,3 +420,65 @@ def bigram_lm_topk(
         counts.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture drift monitoring
+
+
+def source_drift_tv(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Total-variation distance between each domain's token
+    distribution and the corpus-wide distribution — the drift metric a
+    mixture pipeline watches to catch a source changing under it
+    (TV = ½ Σ|p(term|domain) − p(term|corpus)|, in [0,1]).
+
+    TV is chosen over KL deliberately: every number here is a ratio of
+    integer counts and an absolute difference — no logarithms, so
+    there is no libm variance across engines and the oracle comparison
+    is stable to the last rounded digit.
+
+    Shape: one explode→(domain, term) count, a term-marginal rollup of
+    those partials (second small shuffle), a join on term, one final
+    agg per domain. Frames after the first agg are vocabulary-sized,
+    not corpus-sized. A term absent from a domain contributes
+    p(term|corpus)/2 — accounted exactly via the complement-of-mass
+    term (Σ_present q) rather than a full domain×vocab dense join."""
+    terms = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    # three consumers below — persist or the corpus-wide explode+agg
+    # recomputes once per branch (the union-of-selects trap)
+    dom_term = (
+        terms.groupBy("domain", "term").agg(F.count(F.lit(1)).alias("c_dt")).persist()
+    )
+    dom_tot = dom_term.groupBy("domain").agg(F.sum("c_dt").alias("n_d"))
+    term_tot = dom_term.groupBy("term").agg(F.sum("c_dt").alias("c_t"))
+    # corpus total re-aggregated from the domain totals (domain-count
+    # rows), never from the vocab frame a third time
+    n_all = dom_tot.agg(F.sum("n_d").alias("n_all"))
+    p = F.col("c_dt") / F.col("n_d")  # p(term | domain)
+    q = F.col("c_t") / F.col("n_all")  # p(term | corpus)
+    # Σ over terms present in the domain: |p−q| and q-mass; terms the
+    # domain lacks add q each, i.e. (1 − Σ_present q) in total.
+    per_dom = (
+        dom_term.join(term_tot, "term")
+        .join(F.broadcast(dom_tot), "domain")
+        .crossJoin(F.broadcast(n_all))
+        .groupBy("domain")
+        .agg(
+            F.sum(F.abs(p - q)).alias("__present_abs"),
+            F.sum(q).alias("__present_q"),
+        )
+    )
+    return per_dom.select(
+        "domain",
+        ((F.col("__present_abs") + (F.lit(1.0) - F.col("__present_q"))) / 2).alias(
+            "tv_distance"
+        ),
+    )

@@ -278,3 +278,31 @@ def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.bigram_lm_topk(load_table(spark, sf_dir, "documents"), k=20).select(
         "lang", "bigram", "cnt", "rnk"
     )
+
+
+@query(
+    "corpus_source_drift",
+    """
+WITH terms AS (
+  SELECT source AS domain, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dt AS (SELECT domain, term, CAST(COUNT(*) AS BIGINT) AS c_dt FROM terms GROUP BY 1, 2),
+dtot AS (SELECT domain, SUM(c_dt) AS n_d FROM dt GROUP BY 1),
+tt AS (SELECT term, SUM(c_dt) AS c_t FROM dt GROUP BY 1),
+na AS (SELECT SUM(c_dt) AS n_all FROM dt)
+SELECT domain,
+       ROUND((SUM(ABS(c_dt * 1.0 / n_d - c_t * 1.0 / n_all))
+              + (1.0 - SUM(c_t * 1.0 / n_all))) / 2, 6) AS tv_distance
+FROM dt JOIN tt USING (term) JOIN dtot USING (domain) CROSS JOIN na
+GROUP BY domain
+""",
+)
+def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture drift monitor: total-variation distance between each
+    source's token distribution and the corpus-wide one. TV over KL on
+    purpose — ratios of integer counts and absolute differences only,
+    no logarithms, so there is no libm variance between engines and
+    the 6-dp rounded values match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cp.source_drift_tv(docs, domain_col="source")
+    return out.select("domain", F.round("tv_distance", 6).alias("tv_distance"))

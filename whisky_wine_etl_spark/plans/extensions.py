@@ -434,3 +434,34 @@ def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     resized = mm.resize_payload_real(mm.synthesize_bmp_corpus(docs))
     return resized.select("doc_id", "width", "height", "n_bytes", "pixel_sum")
+
+
+@query(
+    "func_try_arith",
+    """
+SELECT o_orderkey,
+       ROUND(CASE WHEN o_custkey % 5 = 0 THEN NULL
+                  ELSE o_totalprice / CAST(o_custkey % 5 AS DOUBLE) END, 4)
+         AS safe_ratio,
+       TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+       [o_orderkey, o_custkey][CAST(o_custkey % 4 + 1 AS INT)] AS maybe_elem
+FROM orders
+""",
+)
+def func_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic pack: `try_divide` (null on zero divisor),
+    `try_cast` (null on malformed), `try_element_at` (null out of
+    bounds — 1-based like DuckDB's list index). At scale the point is
+    that TRY variants keep ANSI mode ON for the whole job: one bad row
+    nulls out instead of killing a 1000-executor stage."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide("o_totalprice", (F.col("o_custkey") % 5).cast("double")), 4
+        ).alias("safe_ratio"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.try_element_at(
+            F.array("o_orderkey", "o_custkey"), (F.col("o_custkey") % 4 + 1).cast("int")
+        ).alias("maybe_elem"),
+    )
