@@ -306,3 +306,99 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = cp.source_drift_tv(docs, domain_col="source")
     return out.select("domain", F.round("tv_distance", 6).alias("tv_distance"))
+
+
+@query(
+    "corpus_pipeline",
+    f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+eval_docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM train),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+uni AS (SELECT doc_id, SUM(tf) AS n_tokens, MAX(tf) AS top_tf,
+               SUM(len(term) * tf) AS sum_len
+        FROM tf GROUP BY doc_id),
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM train),
+bigrams AS (
+  SELECT doc_id, array_to_string(toks[i.i:i.i+1], ' ') AS bigram
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i) i(i)
+),
+btf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM bigrams GROUP BY 1, 2),
+bi AS (SELECT doc_id, SUM(tf) AS n_bigrams,
+              SUM(CASE WHEN tf > 1 THEN tf ELSE 0 END) AS dup_mass
+       FROM btf GROUP BY doc_id),
+gated AS (
+  SELECT t.* FROM train t JOIN uni u USING (doc_id) JOIN bi b USING (doc_id)
+  WHERE u.n_tokens >= 10 AND u.sum_len >= 3 * u.n_tokens
+    AND u.sum_len <= 10 * u.n_tokens AND 5 * u.top_tf <= u.n_tokens
+    AND 2 * b.dup_mass <= b.n_bigrams
+),
+winners AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated
+  GROUP BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+),
+dd AS (SELECT g.* FROM gated g JOIN winners w USING (doc_id)),
+tk2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i+4], ' ') AS shingle
+  FROM tk2, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i) i(i)
+),
+etk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM eval_docs),
+esh AS (
+  SELECT DISTINCT array_to_string(toks[i.i:i.i+4], ' ') AS shingle
+  FROM etk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i) i(i)
+),
+bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN esh USING (shingle)),
+clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+mixed AS (
+  SELECT * FROM clean
+  WHERE {hash_bucket_sql("doc_id", 100)} <
+        CASE lang WHEN 'de' THEN 100 WHEN 'en' THEN 40
+                  WHEN 'fr' THEN 75 WHEN 'zh' THEN 50 ELSE 25 END
+),
+cnt AS (SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM mixed),
+packed AS (
+  SELECT doc_id, lang, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start
+  FROM cnt
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(start // 256 AS BIGINT) AS seq_id,
+       CAST(start % 256 AS BIGINT) AS seq_offset
+FROM packed
+""",
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-shaping flow as ONE lazy Catalyst plan —
+    quality gate → exact dedup (min-id winners) → benchmark
+    decontamination (5-gram) → domain mixture sampling → 256-token
+    sequence packing. Every stage is the already-oracle-verified
+    operator; composing them declaratively means Catalyst sees one
+    tree: the gate's semi join, the dedup semi join, and the
+    decontamination anti join all reuse the same scan, filters reach
+    parquet once, and nothing materializes between stages except the
+    packing pass's O(partitions) offsets."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    gate = cp.quality_gate(train).filter(F.col("passes_gate")).select("doc_id")
+    gated = train.join(gate, "doc_id", "left_semi")
+    from whisky_wine_etl_spark.operators.dedup import exact_dedup
+
+    winners = exact_dedup(gated).select("doc_id")
+    deduped = gated.join(winners, "doc_id", "left_semi")
+    clean = cp.decontaminate(deduped, eval_set, n=5)
+    mixed = cp.mixture_sample(clean, _MIX_RATES, default_pct=25)
+    cnt = mixed.select(
+        "doc_id", "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = cp.pack_sequences(
+        cnt.select("doc_id", "n_tokens"), budget=256, count_col="n_tokens"
+    )
+    return cnt.select("doc_id", "lang", "source").join(packed, "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "seq_id", "seq_offset"
+    )
