@@ -133,3 +133,41 @@ def test_read_csv_requires_explicit_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         sio.read_csv(spark, path)
     assert sio.read_csv(spark, path, infer_schema=True).count() == 1
+
+
+def test_read_csv_permissive_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "landing.csv"
+    p.write_text(
+        "id,price\n"
+        "1,9.5\n"
+        "2,not_a_number\n"   # malformed double → quarantined
+        "3,7.25\n"
+    )
+    from whisky_wine_etl_spark.sources.io import read_csv_permissive
+
+    df = read_csv_permissive(
+        spark, str(p), "id INT, price DOUBLE"
+    ).cache()  # cache before splitting good/bad (CSV corrupt-col caveat)
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    good = df.filter("_corrupt_record IS NULL").collect()
+    assert len(bad) == 1 and bad[0].id == 2 and bad[0].price is None
+    assert "not_a_number" in bad[0]._corrupt_record  # raw bytes preserved
+    assert sorted((r.id, r.price) for r in good) == [(1, 9.5), (3, 7.25)]
+    df.unpersist()
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id LONG, old_col STRING").write.parquet(
+        base + "/batch=1"
+    )
+    spark.createDataFrame([(2, 4.5)], "id LONG, new_col DOUBLE").write.parquet(
+        base + "/batch=2"
+    )
+    from whisky_wine_etl_spark.sources.io import read_parquet_evolved
+
+    df = read_parquet_evolved(spark, base)
+    assert {"id", "old_col", "new_col", "batch"} <= set(df.columns)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].old_col == "a" and rows[1].new_col is None
+    assert rows[2].new_col == 4.5 and rows[2].old_col is None

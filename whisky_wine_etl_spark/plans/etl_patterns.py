@@ -439,3 +439,64 @@ def ts_resample_ffill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("value_ffill", 2).alias("value_ffill"),
     )
+
+
+@query(
+    "join_scd2_point_in_time",
+    """
+WITH dim AS (
+  SELECT c_custkey, 'OLD_' || c_mktsegment AS segment,
+         DATE '1995-01-01' AS valid_from, DATE '1998-07-01' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment AS segment,
+         DATE '1998-07-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+)
+SELECT segment, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders JOIN dim
+  ON o_custkey = c_custkey
+ AND o_orderdate >= valid_from
+ AND (valid_to IS NULL OR o_orderdate < valid_to)
+GROUP BY 1, 2
+""",
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks the SCD2
+    dimension version valid AT its event date — the as-of-history
+    pattern every warehouse query against a versioned dimension
+    needs. The versioned dim is derived from customer (pre-1998.5
+    rows carry an 'OLD_' segment). Shape: an equi join on the key
+    with the validity range as a residual predicate — per-key version
+    counts are small, so this stays a plain hash join (broadcast here;
+    shuffled-with-AQE at scale), never an interval cross join."""
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.concat(F.lit("OLD_"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit("1998-07-01").cast("date").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1998-07-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o.o_custkey == dim.c_custkey)
+            & (o.o_orderdate >= dim.valid_from)
+            & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to)),
+        )
+        .groupBy("segment", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

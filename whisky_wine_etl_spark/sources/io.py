@@ -252,3 +252,41 @@ def read_binary_dir(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan that QUARANTINES malformed rows instead of failing the
+    job or silently nulling fields: PERMISSIVE mode routes each
+    unparseable line's raw text into `corrupt_col` (appended to the
+    caller's schema here) while clean rows parse normally. The at-scale
+    landing pattern: filter `corrupt_col IS NOT NULL` to a quarantine
+    sink, proceed with the rest — one bad upstream export doesn't kill
+    a 1000-executor load, and the bad bytes are preserved for triage.
+
+    Note Spark only materializes the corrupt column for rows it
+    actually fails to parse; count checks on it must follow a cache or
+    a separate scan (Spark's documented CSV-parser caveat)."""
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full_schema)
+        .csv(path)
+    )
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema evolution: mergeSchema reconciles
+    column sets across files written at different pipeline versions
+    (added columns read as NULL for older files). Off by default in
+    Spark because footer-merging costs at listing time — turn it on
+    only for tables that actually evolve, then freeze the merged
+    schema into the table definition."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
