@@ -194,3 +194,15 @@ def test_bigram_lm_rank_is_deterministic_on_ties(spark):
     # "a a" and "b b" tie on count; lexicographic break puts "a a" first
     ranks = dict(out)
     assert ranks["a a"] < ranks["b b"]
+
+
+def test_corpus_pipeline_plan_shape(spark):
+    """The composed pipeline must stay one declarative tree: semi
+    joins for gate+dedup, an anti join for decontamination, and no
+    cartesian anywhere."""
+    df = plans.QUERIES["corpus_pipeline"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("LeftSemi") >= 3  # gate, dedup winners, decontam probe
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

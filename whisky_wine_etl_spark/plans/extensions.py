@@ -465,3 +465,37 @@ def func_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array("o_orderkey", "o_custkey"), (F.col("o_custkey") % 4 + 1).cast("int")
         ).alias("maybe_elem"),
     )
+
+
+@query(
+    "window_count_distinct_running",
+    """
+SELECT event_id, user_id,
+       CAST(COUNT(DISTINCT event_type)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+FROM events
+""",
+)
+def window_count_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count per key — SQL engines accept
+    COUNT(DISTINCT) OVER, Spark does not: the idiomatic translation
+    is size(collect_set() OVER), which keeps the distinct state as a
+    bounded per-frame set (cardinality = event-type domain, not event
+    count). At scale swap collect_set for a HLL sketch column when
+    the distinct domain itself is unbounded."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias(
+            "n_distinct_types"
+        ),
+    )
