@@ -230,3 +230,21 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join-strategy control for 100 TB tuning: when the planner's
+    default is wrong for a specific join (e.g. SMJ on data where one
+    side hashes cheaply), hints must still steer the physical pick —
+    shuffle_hash → ShuffledHashJoin, merge → SortMergeJoin."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders")
+        hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
