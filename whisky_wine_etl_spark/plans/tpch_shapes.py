@@ -569,3 +569,258 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the corpus ships no partsupp table, so the four
+# queries that need one (Q2/Q9/Q11/Q20) derive it deterministically
+# from lineitem's distinct (partkey, suppkey) pairs. Cost and
+# quantity are INTEGER-valued functions of the keys — every product
+# and sum below stays exact in float64, so cross-engine threshold
+# comparisons (Q2's min, Q11's HAVING, Q20's 0.5×sum) can never flip
+# on a rounding ulp.
+
+_PARTSUPP_SQL = """
+partsupp AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey * 31 + l_suppkey * 17) % 1000 + 1 AS DOUBLE) AS ps_supplycost,
+         CAST((l_partkey * 7 + l_suppkey * 13) % 9999 + 1 AS BIGINT) AS ps_availqty
+  FROM lineitem
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 1000 + 1)
+        .cast("double")
+        .alias("ps_supplycost"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 9999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+    ).distinct()
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+WITH {_PARTSUPP_SQL},
+eu AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost
+  FROM partsupp, supplier, nation, region
+  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+),
+cheapest AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM eu GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+FROM part, eu, cheapest, supplier, nation
+WHERE p_partkey = eu.ps_partkey AND eu.ps_partkey = cheapest.ps_partkey
+  AND eu.ps_supplycost = cheapest.min_cost
+  AND s_suppkey = eu.ps_suppkey AND s_nationkey = n_nationkey
+  AND p_size = 15
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated MIN subquery over a region-restricted
+    supply table, decorrelated into a per-part min aggregate joined
+    back on (part, cost) equality. The regional partsupp frame is
+    computed once and persisted for both its aggregate and the
+    join-back; cost ties keep every minimal supplier, identically in
+    both engines because costs are integer-valued. All dims
+    broadcast; the only shuffles are partsupp's distinct and the
+    per-part min."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eu = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+        .persist()
+    )
+    cheapest = (
+        eu.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+        .withColumnRenamed("ps_partkey", "ch_partkey")  # break self-join lineage
+    )
+    return (
+        eu.join(
+            cheapest,
+            (eu.ps_partkey == F.col("ch_partkey"))
+            & (eu.ps_supplycost == F.col("min_cost")),
+        )
+        .drop("ch_partkey")
+        .join(F.broadcast(p), eu.ps_partkey == p.p_partkey)
+        # fresh supplier/nation copies: the originals are already in
+        # eu's lineage and re-joining them is ambiguous
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier").alias("s2")),
+            eu.ps_suppkey == F.col("s2.s_suppkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").alias("n2")),
+            F.col("s2.s_nationkey") == F.col("n2.n_nationkey"),
+        )
+        .select(
+            F.col("s2.s_acctbal").alias("s_acctbal"),
+            F.col("s2.s_name").alias("s_name"),
+            F.col("n2.n_name").alias("n_name"),
+            "p_partkey",
+            "p_type",
+            "ps_supplycost",
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+WITH {_PARTSUPP_SQL}
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - ps_supplycost * l_quantity), 4) AS sum_profit
+FROM part, supplier, lineitem, partsupp, orders, nation
+WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+  AND ps_partkey = l_partkey AND p_partkey = l_partkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_type = 'STANDARD'
+GROUP BY 1, 2
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: the profit rollup — lineitem joined to part,
+    supplier, orders, nation AND the supply table on the composite
+    (partkey, suppkey) key. partsupp is part×supplier-per-part sized:
+    dimension-class, so it broadcasts; lineitem⋈orders is the one
+    fact-fact shuffle. Profit terms are price products minus exact
+    integer cost×qty."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    ps = _partsupp(spark, sf_dir)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+WITH {_PARTSUPP_SQL},
+asia AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp, supplier, nation, region
+  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+),
+tot AS (SELECT SUM(v) AS total_v FROM asia)
+SELECT ps_partkey, ROUND(SUM(v), 2) AS stock_value
+FROM asia, tot
+GROUP BY ps_partkey, total_v
+HAVING SUM(v) > total_v * 0.002
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped sum filtered by a share-of-global-total
+    HAVING — the scalar total rides in as a broadcast 1-row frame.
+    Stock values are exact integers in float64 and the 0.002
+    multiplier is a power-of-2-free constant applied identically in
+    both engines, so the strict > can't flip on summation order. The
+    regional frame is persisted: its global total and per-part sums
+    are two consumers of one computation."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v")
+        )
+        .persist()
+    )
+    tot = asia.agg(F.sum("v").alias("total_v"))
+    return (
+        asia.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("__sum_v"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("__sum_v") > F.col("total_v") * 0.002)
+        .select("ps_partkey", F.round("__sum_v", 2).alias("stock_value"))
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    f"""
+WITH {_PARTSUPP_SQL},
+promo_parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT ps_suppkey
+  FROM partsupp
+  JOIN promo_parts ON ps_partkey = p_partkey
+  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE ps_availqty > 0.5 * qty
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+""",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN chains — suppliers holding excess stock
+    (availqty > half the year's shipments) of promo parts. The
+    correlated shipment sum decorrelates into a (part, supplier)
+    aggregate joined to the supply table; both IN levels become semi
+    joins. Quantity sums are integer-exact, so the 0.5× threshold is
+    deterministic."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    excess = (
+        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    return s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
