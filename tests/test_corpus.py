@@ -206,3 +206,18 @@ def test_corpus_pipeline_plan_shape(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_source_drift_tv_matches_hand_computation(spark):
+    """TV distance against hand-computed probabilities, including the
+    absent-term complement mass (domain A lacks z, B lacks x)."""
+    docs = spark.createDataFrame(
+        [(1, "A", "x x y"), (2, "B", "y z")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.domain: r.tv_distance for r in cp.source_drift_tv(docs).collect()}
+    # corpus: x 2/5, y 2/5, z 1/5
+    # A (x 2/3, y 1/3): ½(|2/3−2/5| + |1/3−2/5| + 1/5) = 4/15
+    # B (y 1/2, z 1/2): ½(|1/2−2/5| + |1/2−1/5| + 2/5) = 0.4
+    assert abs(out["A"] - 4 / 15) < 1e-12
+    assert abs(out["B"] - 0.4) < 1e-12

@@ -248,3 +248,13 @@ def test_join_strategy_hints_are_honored(spark):
         assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q9_supply_snowflake_broadcasts(spark):
+    """Q9's part/supplier/nation dims AND the derived partsupp frame
+    (part×suppliers-per-part sized — dimension-class at every SF) must
+    broadcast; lineitem⋈orders is the only permissible shuffle join."""
+    df = plans.QUERIES["q9_product_profit"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan

@@ -696,10 +696,12 @@ GROUP BY 1, 2
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape: the profit rollup — lineitem joined to part,
     supplier, orders, nation AND the supply table on the composite
-    (partkey, suppkey) key. partsupp is part×supplier-per-part sized:
-    dimension-class, so it broadcasts; lineitem⋈orders is the one
-    fact-fact shuffle. Profit terms are price products minus exact
-    integer cost×qty."""
+    (partkey, suppkey) key. partsupp carries NO broadcast hint on
+    purpose: it scales linearly with part (4×part rows in real TPC-H
+    — a fact table at 100 TB), so AQE decides — broadcast while it
+    measures small, shuffle on the composite key once it doesn't.
+    The true dims (part/supplier/nation) stay hinted. Profit terms
+    are price products minus exact integer cost×qty."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -712,7 +714,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(ps),
+            ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
