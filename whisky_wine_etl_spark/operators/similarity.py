@@ -65,7 +65,10 @@ def brute_force_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", F.round("cos_sim", 4).alias("cos_sim"), "rk")
+        # emit the SAME 6dp quantity used for ranking — re-rounding to
+        # 4dp double-rounds: a cos6 ending in ...50 is an exact decimal
+        # half and HALF_UP/HALF_EVEN engines disagree on it
+        .select("query_id", "cand_id", "cos_sim", "rk")
     )
 
 
@@ -180,7 +183,10 @@ def ivf_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", F.round("cos_sim", 4).alias("cos_sim"), "rk")
+        # emit the SAME 6dp quantity used for ranking — re-rounding to
+        # 4dp double-rounds: a cos6 ending in ...50 is an exact decimal
+        # half and HALF_UP/HALF_EVEN engines disagree on it
+        .select("query_id", "cand_id", "cos_sim", "rk")
     )
 
 
@@ -288,7 +294,10 @@ def lsh_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", F.round("cos_sim", 4).alias("cos_sim"), "rk")
+        # emit the SAME 6dp quantity used for ranking — re-rounding to
+        # 4dp double-rounds: a cos6 ending in ...50 is an exact decimal
+        # half and HALF_UP/HALF_EVEN engines disagree on it
+        .select("query_id", "cand_id", "cos_sim", "rk")
     )
 
 

@@ -42,7 +42,7 @@ ranked AS (
     "sim_topk_bruteforce",
     f"""
 WITH {_COS_SCORED}
-SELECT query_id, cand_id, ROUND(cos6, 4) AS cos_sim, rk
+SELECT query_id, cand_id, cos6 AS cos_sim, rk
 FROM ranked WHERE rk <= 5
 """,
 )
@@ -323,7 +323,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_topk_pandas_udf",
     f"""
 WITH {_COS_SCORED}
-SELECT query_id, cand_id, ROUND(cos6, 4) AS cos_sim, rk
+SELECT query_id, cand_id, cos6 AS cos_sim, rk
 FROM ranked WHERE rk <= 5
 """,
 )
@@ -353,7 +353,7 @@ def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "cand_id", F.round("cos6", 4).alias("cos_sim"), "rk")
+        .select("query_id", "cand_id", F.col("cos6").alias("cos_sim"), "rk")
     )
 
 
