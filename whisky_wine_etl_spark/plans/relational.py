@@ -37,7 +37,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 FLAGSHIP_ORACLE = """
 SELECT n.n_name AS nation,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
        COUNT(*) AS n_items
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -70,7 +70,7 @@ def flagship_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -1219,7 +1219,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM supplier s
 JOIN lineitem l ON l.l_suppkey = s.s_suppkey
@@ -1252,7 +1252,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("volume"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -59,7 +59,7 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_revenue_forecast",
     """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -80,7 +80,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -151,7 +151,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     """
 WITH rev AS (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
   GROUP BY l_suppkey
@@ -165,7 +165,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: aggregate view + scalar-subquery equality (the max
     joins back as a broadcast 1-row frame). The revenue agg is rounded
     BEFORE the max/equality on both engines, so the comparison is on
-    identical 4-dp values. rev is computed once and reused via
+    identical 2-dp values. rev is computed once and reused via
     persist — the view is tiny (one row per supplier)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -174,7 +174,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "total_revenue"
             )
         )
@@ -684,7 +684,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_PARTSUPP_SQL}
 SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
        ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - ps_supplycost * l_quantity), 4) AS sum_profit
+                 - ps_supplycost * l_quantity), 2) AS sum_profit
 FROM part, supplier, lineitem, partsupp, orders, nation
 WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
   AND ps_partkey = l_partkey AND p_partkey = l_partkey
@@ -724,7 +724,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
     )
 
 
