@@ -684,7 +684,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_PARTSUPP_SQL}
 SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
        ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - ps_supplycost * l_quantity), 2) AS sum_profit
+                 - ps_supplycost * l_quantity), 4) AS sum_profit
 FROM part, supplier, lineitem, partsupp, orders, nation
 WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
   AND ps_partkey = l_partkey AND p_partkey = l_partkey
@@ -724,7 +724,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        # 4dp, deliberately: summands are 4dp-quantized decimals, so sums
+        # sit ON the 4dp grid — a coarser grain (2dp) can land exactly on a
+        # .xx50 half where double-vs-decimal rounding splits engines, while
+        # per-(nation,year) magnitudes (~1e7-1e8) keep ulp noise far below
+        # the 4dp grain
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
     )
 
 
