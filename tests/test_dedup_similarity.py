@@ -107,3 +107,22 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
         naive = sorted(tuple(r) for r in dd.jaccard_pairs(docs, t).collect())
         pf = sorted(tuple(r) for r in dd.jaccard_pairs(docs, t, prefix_filter=True).collect())
         assert naive == pf, f"threshold {t}"
+
+
+def test_semantic_dedup_recall_vs_exact_pairs(spark):
+    """SemDeDup recall: for exact near-dup pairs (all-pairs cosine
+    ground truth), the clustered path must resolve most pairs — i.e.
+    at most one endpoint of a pair survives. Clustering can split a
+    pair only at a centroid boundary, so recall stays high."""
+    from whisky_wine_etl_spark.operators.dedup import embedding_near_dup_pairs
+    from whisky_wine_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    assert exact, "fixture should contain near-dup pairs"
+    removed = {r.vec_id for r in semantic_dedup(emb, threshold=0.4).collect()}
+    resolved = sum(1 for r in exact if r.vec_a in removed or r.vec_b in removed)
+    assert resolved / len(exact) >= 0.8
+    # and the kept representative of each removed vector is itself kept
+    reps = {r.rep_id for r in semantic_dedup(emb, threshold=0.4).collect()}
+    assert not (reps & removed)

@@ -110,33 +110,9 @@ def ivf_topk(
 
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
 
-    # --- driver-side training on a deterministic sample -----------------
-    sample = (
-        corpus.orderBy(id_col)
-        .limit(4096)
-        .select(F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"))
-        .collect()
-    )
-    x = np.array([r.v for r in sample], dtype=np.float64)  # (n, dim)
-    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    cent = x[:n_lists].copy()  # deterministic init: lowest-id vectors
-    for _ in range(kmeans_iters):
-        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-        # argmax cosine; ties broken toward the HIGHER list id to match
-        # the distributed assignment below (array_max struct semantics)
-        sims = xn @ cn.T
-        assign = (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
-        for lid in range(n_lists):
-            members = x[assign == lid]
-            if len(members):
-                cent[lid] = members.mean(axis=0)
-    centroids: list[tuple[int, list[float]]] = [
-        (i + 1, [float(v) for v in cent[i]]) for i in range(n_lists)
-    ]
-
     # Normalized centroid matrix captured in the UDF closures —
     # O(n_lists·dim) doubles, serialized once per executor.
-    cmat = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    cmat = _train_centroid_matrix(corpus, n_lists, kmeans_iters, vec_col, id_col)
 
     def _centroid_sims(v: pd.Series) -> np.ndarray:
         xs = np.array(v.to_list(), dtype=np.float64)
@@ -333,4 +309,111 @@ def lsh_near_dup_pairs(
         )
         .distinct()
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+def _train_centroid_matrix(
+    corpus: DataFrame,
+    n_lists: int,
+    kmeans_iters: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Driver-side IVF centroid training on a deterministic bounded
+    sample (lowest-id vectors, FAISS-style): numpy Lloyd iterations
+    touch O(sample·dim) values regardless of corpus size. Ties in the
+    cosine argmax break toward the HIGHER list id to match the
+    distributed assignment UDFs built from the result. Returns the
+    row-normalized (n_lists, dim) centroid matrix."""
+    sample = (
+        corpus.orderBy(id_col)
+        .limit(4096)
+        .select(F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"))
+        .collect()
+    )
+    x = np.array([r.v for r in sample], dtype=np.float64)  # (n, dim)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:n_lists].copy()  # deterministic init: lowest-id vectors
+    for _ in range(kmeans_iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        sims = xn @ cn.T
+        assign = (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
+        for lid in range(n_lists):
+            members = x[assign == lid]
+            if len(members):
+                cent[lid] = members.mean(axis=0)
+    return cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    kmeans_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space (sample-trained IVF k-means), compare pairs ONLY within a
+    cluster, connect the over-threshold pairs into groups, keep the
+    minimum id per group. Returns one row per REMOVED vector with its
+    retained representative: (vec_id, rep_id).
+
+    Scale shape: the only pairwise stage is the within-list self-join
+    — bounded by (n_probe·corpus/n_lists)² per list and
+    embarrassingly parallel across lists, never corpus². Each vector
+    is assigned to its `n_probe` nearest lists (multi-assignment):
+    at the near-identical thresholds SemDeDup targets a single
+    assignment suffices, but at looser thresholds a pair's endpoints
+    can straddle a centroid boundary — probing p lists bounds that
+    loss, traded against a p² factor on the per-list quadratic
+    (recall vs the exact all-pairs twin is asserted in tests). Raise
+    n_lists with corpus growth to hold the per-list constant."""
+    from pyspark.sql.functions import pandas_udf
+
+    from whisky_wine_etl_spark.operators.dedup import connected_components
+
+    cmat = _train_centroid_matrix(df, n_lists, kmeans_iters, vec_col, id_col)
+
+    @pandas_udf("array<int>")
+    def assign_udf(v: pd.Series) -> pd.Series:
+        xs = np.array(v.to_list(), dtype=np.float64)
+        xn = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+        s = xn @ cmat.T
+        top = np.argsort(-s, axis=1, kind="stable")[:, :n_probe] + 1
+        return pd.Series(list(top.astype("int32")))
+
+    @pandas_udf("double")
+    def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        xs = np.array(a.to_list(), dtype=np.float64)
+        ys = np.array(b.to_list(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", xs, ys)
+        den = np.maximum(np.linalg.norm(xs, axis=1) * np.linalg.norm(ys, axis=1), 1e-12)
+        return pd.Series(np.round(num / den, 6))
+
+    inv = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("list_id", F.explode(assign_udf("vec")))
+        .persist()
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    # a pair can share up to n_probe lists → distinct the CANDIDATE ids
+    # before the (expensive) exact cosine, not after
+    cand = (
+        a.join(
+            b, (F.col("a.list_id") == F.col("b.list_id")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = inv.select("id", "vec").distinct()
+    pairs = (
+        cand.join(vecs.select(F.col("id").alias("vec_a"), F.col("vec").alias("va")), "vec_a")
+        .join(vecs.select(F.col("id").alias("vec_b"), F.col("vec").alias("vb")), "vec_b")
+        .filter(cosine_udf(F.col("va"), F.col("vb")) >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    return comp.filter(F.col("vec_id") != F.col("cluster_id")).select(
+        "vec_id", F.col("cluster_id").alias("rep_id")
     )

@@ -208,3 +208,18 @@ def dedup_canonical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
         ).cast("bigint").alias("n_canonical"),
     )
+
+
+@query("dedup_semantic")  # k-means clustering is not SQL-expressible → rows-only
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-cluster the embedding space,
+    find over-threshold cosine pairs WITHIN clusters only, connect
+    into groups, drop all but the min-id representative. The exact
+    all-pairs twin (dedup_embedding_cosine) pins recall in
+    tests/test_dedup_similarity.py."""
+    from whisky_wine_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 0.4 matches the exact twin's near-dup regime in this synthetic
+    # embedding space (real text-embedding corpora sit nearer 0.95)
+    return semantic_dedup(emb, threshold=0.4)
