@@ -182,18 +182,35 @@ def test_aqe_splits_skewed_join_partitions(spark):
             spark.conf.set(k, v)
 
 
-def test_q8_snowflake_broadcasts_all_dims(spark):
-    """Q8's five dims (part, customer, supplier, 2× nation, region)
-    must all broadcast — only the lineitem⋈orders fact edge may
-    shuffle. A SortMergeJoin anywhere means a dim grew a shuffle."""
+def test_q8_snowflake_broadcasts_via_stats_not_hints(spark):
+    """Q8 hints ONLY the constant-size tables (2× nation + region).
+    part/customer/supplier scale with SF in this corpus, so their
+    joins must carry NO broadcast hint: at test SF the planner still
+    broadcasts every dim edge from parquet size stats (first block),
+    and with auto-broadcast disabled the SF-scaled joins must degrade
+    to shuffle joins (second block) — a lingering hint would keep
+    them broadcast at threshold=-1, the exact design that OOMs at
+    100 TB."""
     df = plans.QUERIES["q8_market_share"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # 6 explicit dim broadcasts; at tiny SF the planner may broadcast
-    # the orders fact edge too (7th) — that one is allowed to shuffle
+    # stats-driven at this SF: all dim edges broadcast, zero SMJ
     assert plan.count("BroadcastHashJoin") >= 6
     assert "SortMergeJoin" not in plan
-    # fact-fact edge + final agg are the only hash exchanges
-    assert plan.count("Exchange hashpartitioning") <= 3
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = (
+            plans.QUERIES["q8_market_share"](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # only the hinted constant tables survive: 2× nation + region
+    assert plan2.count("BroadcastHashJoin") == 3
+    # part/customer/supplier/orders now shuffle — proof they're unhinted
+    assert plan2.count("SortMergeJoin") >= 4
 
 
 def test_q21_decorrelates_to_semi_and_anti(spark):
@@ -250,11 +267,27 @@ def test_join_strategy_hints_are_honored(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_q9_supply_snowflake_broadcasts(spark):
-    """Q9's part/supplier/nation dims AND the derived partsupp frame
-    (part×suppliers-per-part sized — dimension-class at every SF) must
-    broadcast; lineitem⋈orders is the only permissible shuffle join."""
+def test_q9_supply_snowflake_broadcasts_via_stats_not_hints(spark):
+    """Q9 hints ONLY nation (25 rows, constant). part, supplier and
+    the derived partsupp all scale with SF, so at test SF they must
+    broadcast via parquet stats (first block), and with
+    auto-broadcast disabled all of them must degrade to shuffle
+    joins, leaving exactly the one hinted nation broadcast (second
+    block)."""
     df = plans.QUERIES["q9_product_profit"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = (
+            plans.QUERIES["q9_product_profit"](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan2.count("BroadcastHashJoin") == 1  # the hinted nation only
+    assert plan2.count("SortMergeJoin") >= 4

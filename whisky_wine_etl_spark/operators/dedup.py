@@ -539,6 +539,9 @@ def connected_components(
 
     out = labels
     if nodes is not None:
-        out = out.unionByName(singletons)
+        # singletons' lazy plan still references edges — pin it before
+        # the unpersist so exceptAll doesn't recompute the pair join
+        # uncached on a later materialization
+        out = out.unionByName(singletons.localCheckpoint(eager=True))
     edges.unpersist()
     return out.select(F.col("node").alias(id_a.replace("_a", "_id")), F.col("label").alias("cluster_id"))

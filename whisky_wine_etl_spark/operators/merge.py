@@ -48,8 +48,13 @@ def upsert(
         raise ValueError("upsert requires identical target/source schemas")
     # Alias-qualified F.col references (not DataFrame[col]) so a source
     # derived from the target itself (self-merge) resolves unambiguously.
-    t = target.alias("__t")
-    s = source.alias("__s")
+    # Literal presence flags — NOT key nullness — detect a matched row:
+    # the join uses eqNullSafe, so a row can match through a NULL key,
+    # where both sides' keys[0] are null and a nullness test would
+    # silently bypass the strict guard. A flag is null exactly when the
+    # full-outer join left that side unmatched.
+    t = target.withColumn("__t_present", F.lit(True)).alias("__t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("__s")
     cond = [F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
 
@@ -61,7 +66,7 @@ def upsert(
             # row where the source nulls a non-null target value raises
             # on first occurrence, in the same shuffle — no extra pass
             matched = (
-                F.col(f"__s.{keys[0]}").isNotNull() & F.col(f"__t.{keys[0]}").isNotNull()
+                F.col("__s.__s_present").isNotNull() & F.col("__t.__t_present").isNotNull()
             )
             bad = matched & F.col(f"__s.{c}").isNull() & F.col(f"__t.{c}").isNotNull()
             out = F.when(

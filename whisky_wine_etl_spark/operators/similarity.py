@@ -173,8 +173,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def _plane_matrix(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     """All tables' hyperplanes stacked: row t*n_planes+j = plane j of
-    table t (same per-table seeds as the original expression path, so
-    signatures are bit-identical across the refactor)."""
+    table t (same per-table seeds as the original expression path;
+    signatures match it up to sign flips on near-zero projections —
+    the matmul and the old per-element fold sum in different orders,
+    so a projection within float summation noise of 0 can land in a
+    neighboring bucket. Harmless: every LSH query is rows-only /
+    recall-checked, never hash-compared)."""
     rows: list[list[float]] = []
     for t in range(n_tables):
         rows.extend(_hyperplanes(dim, n_planes, seed + 1000 * t))
@@ -241,9 +245,16 @@ def lsh_topk(
     amplification that single-table probing can't reach. At 100 TB the
     candidate set stays ∝ L × bucket size (never the corpus), the
     corpus side is shuffled once on (table, bucket), and the probe side
-    is broadcast. Bucket ids (disjoint per table: t·2^b + sig) come
-    from one Arrow-batched matmul per side — see _bucket_udf for the
-    measured rationale vs the literal-expression formulation."""
+    is broadcast. A pair can collide in up to L buckets, so candidates
+    are DISTINCTed before the exact cosine — one cosine per candidate
+    pair, never per collision (semantic_dedup's candidate-distinct
+    pattern); cand_vec rides through the distinct because the vector
+    is a function of the id, which is strictly cheaper than
+    re-shuffling the corpus for a join-back, while query_vec re-joins
+    from the broadcast query side. Bucket ids (disjoint per table:
+    t·2^b + sig) come from one Arrow-batched matmul per side — see
+    _bucket_udf for the measured rationale vs the literal-expression
+    formulation."""
     corpus_buckets = _bucket_udf(dim, n_planes, n_tables, seed, multiprobe=False)
     query_buckets = _bucket_udf(dim, n_planes, n_tables, seed, multiprobe=True)
     c = corpus.select(
@@ -253,18 +264,19 @@ def lsh_topk(
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
         F.explode(query_buckets(vec_col)).alias("bucket"),
     )
-    scored = (
+    cand = (
         c.join(F.broadcast(probes), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "cand_id", "cand_vec")
         .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
@@ -291,23 +303,29 @@ def lsh_near_dup_pairs(
     hyperplane LSH: bucket-join candidates (a.id < b.id), exact cosine
     verify. The all-pairs brute force (operators/dedup.py
     embedding_near_dup_pairs) is the oracle twin; this is the path
-    whose work scales with bucket collisions instead of n². Bucket ids
-    via the Arrow-batched matmul (see _bucket_udf)."""
+    whose work scales with bucket collisions instead of n². A pair can
+    collide in up to n_tables buckets, so the candidate ids are
+    DISTINCTed BEFORE the exact cosine (semantic_dedup's pattern) —
+    the bucket self-join carries only (id, bucket) and the vectors
+    join back once per unique pair. Bucket ids via the Arrow-batched
+    matmul (see _bucket_udf)."""
     buckets = _bucket_udf(dim, n_planes, n_tables, seed, multiprobe=False)
-    bucketed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(buckets(vec_col)).alias("bucket"),
-    )
+    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bucketed = ids.select("id", F.explode(buckets("vec")).alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("vec_a"),
-            F.col("b.id").alias("vec_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
-        )
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
         .distinct()
+    )
+    return (
+        cand.join(ids.select(F.col("id").alias("vec_a"), F.col("vec").alias("va")), "vec_a")
+        .join(ids.select(F.col("id").alias("vec_b"), F.col("vec").alias("vb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -414,6 +432,11 @@ def semantic_dedup(
         .select("vec_a", "vec_b")
     )
     comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    # comp is materialized (localCheckpoint inside connected_components),
+    # so inv's cache has no remaining consumer — release it here rather
+    # than leaking one corpus-sized cache per semantic_dedup call into a
+    # long-lived session
+    inv.unpersist()
     return comp.filter(F.col("vec_id") != F.col("cluster_id")).select(
         "vec_id", F.col("cluster_id").alias("rep_id")
     )

@@ -8,6 +8,16 @@ Column names must match exactly — alias everything on both sides.
 Queries with no SQL-expressible oracle (LSH, streaming state, approx
 sketches) register with oracle=None → the driver records a weaker
 rows-only check.
+
+Cache policy: a registered query may persist() intermediates that its
+RETURNED (lazy) frame still references — Q2's regional partsupp, the
+MinHash band scan, Q21's late pairs. The operator cannot unpersist
+those before the caller materializes the result, so the contract is:
+callers running many registered queries in one session release them
+between queries via spark.catalog.clearCache() (parity.py and
+bench.py both do). Operators that materialize internally
+(connected_components, semantic_dedup) unpersist their own caches
+before returning.
 """
 
 from __future__ import annotations

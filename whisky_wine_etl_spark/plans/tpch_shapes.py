@@ -7,8 +7,15 @@ REFERENCE SHAPE on the columns that exist; parameters were picked so
 every query returns a non-trivial result at sf0.01.
 
 Scale notes per query are in the docstrings; the shared posture:
-dims (part/supplier/nation) broadcast, fact-fact joins shuffle on
-their keys under AQE, every filter lands on the scan.
+explicit broadcast hints ONLY on constant-size frames — nation (25
+rows), region (5 rows), and 1-row scalar aggregates. part, customer
+and supplier scale linearly with SF in this corpus (part = 200k·sf,
+customer = 150k·sf, supplier = 10k·sf — verified in /root/testdata),
+so hinting them would ship billions of rows to every executor at the
+100 TB target; they carry NO hint and AQE broadcasts them while they
+measure small, shuffling once they don't (the flagship-q5 pattern in
+plans/relational.py). Fact-fact joins shuffle on their keys under
+AQE; every filter lands on the scan.
 """
 
 from __future__ import annotations
@@ -128,9 +135,10 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-0
 """,
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14 shape: fact⋈dim with a conditional-revenue ratio. `part` is
-    dimension-sized at every SF → broadcast, so the lineitem side
-    never shuffles; the ratio is one partial+final agg."""
+    """Q14 shape: fact⋈dim with a conditional-revenue ratio. `part`
+    scales with SF (200k·sf rows), so it carries NO broadcast hint —
+    AQE broadcasts it while small and shuffles the partkey join once
+    it isn't; the ratio is one partial+final agg either way."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-07-01"))
@@ -139,7 +147,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_items"),
@@ -163,10 +171,14 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: aggregate view + scalar-subquery equality (the max
-    joins back as a broadcast 1-row frame). The revenue agg is rounded
-    BEFORE the max/equality on both engines, so the comparison is on
-    identical 2-dp values. rev is computed once and reused via
-    persist — the view is tiny (one row per supplier)."""
+    joins back as a broadcast 1-row frame — the ONE hint here, safe
+    because a scalar aggregate is 1 row at every SF; supplier itself
+    scales with SF and is unhinted). The equality invariant: each
+    engine compares its OWN round(sum,2) values against the max of
+    those same values — the compared doubles come from one in-engine
+    computation path, so the equality is exact within each engine by
+    construction; no cross-engine double comparison happens. rev is
+    computed once and reused via persist — one row per supplier."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-07-01"))
@@ -185,7 +197,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("__top"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -201,16 +213,17 @@ GROUP BY p_brand, p_size
 """,
 )
 def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q16 shape: NOT IN exclusion (→ LEFT ANTI against the tiny
-    excluded-supplier frame, broadcast) + count-distinct per dim
-    group. lineitem shuffles once for the distinct agg; part
-    broadcasts."""
+    """Q16 shape: NOT IN exclusion (→ LEFT ANTI against the
+    excluded-supplier frame) + count-distinct per dim group. Both
+    `bad` (supplier-derived, 10k·sf rows) and `part` (200k·sf) scale
+    with SF, so neither is hinted — AQE broadcasts them while small.
+    lineitem shuffles once for the distinct agg."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -310,11 +323,13 @@ GROUP BY o_year
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: the deepest dim snowflake in TPC-H — fact lineitem
     joined to part, supplier, orders, customer, two nation roles and
-    region, then a conditional-share ratio per year. All five dims
-    broadcast (part/supplier/customer/nation/region are dimension-
-    sized at every SF); only the lineitem⋈orders edge shuffles on
-    orderkey. The two nation roles are two independent broadcasts of
-    the same tiny table, not a self-join shuffle."""
+    region, then a conditional-share ratio per year. Hints ONLY on
+    the constant-size tables (nation = 25 rows, region = 5, as two
+    independent broadcasts of nation — never a self-join shuffle).
+    part/customer/supplier scale linearly with SF in this corpus, so
+    they are unhinted: AQE broadcasts them while they measure small
+    and shuffles their key joins once they don't. The
+    lineitem⋈orders edge always shuffles on orderkey."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -327,12 +342,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_cust), c.c_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_nationkey"))
         .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
     )
@@ -363,7 +378,8 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: fact-fact join (orders⋈lineitem on orderkey) rolled
-    up to the customer grain, nation broadcast in, then global top-20
+    up to the customer grain, nation (25 rows, constant) hinted
+    broadcast, customer (150k·sf, SF-scaled) unhinted, then global top-20
     by lost revenue. The sort-limit compiles to TakeOrderedAndProject
     (per-partition heap + driver merge of 20 rows — never a global
     sort). Revenue is rounded before ranking with custkey as the tie
@@ -377,7 +393,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -433,21 +449,28 @@ WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: correlated scalar subquery (per-part average
-    quantity) decorrelated into an aggregate join-back. The per-part
-    avg frame has part-table cardinality — dimension-sized, so it
-    broadcasts into the fact side and the only shuffle is the
-    partial+final avg itself. Quantities are small integers stored as
-    doubles: integer sums are exact in float64, so sum/count and the
-    0.5× threshold are bit-identical across engines and the `<`
-    comparison is deterministic."""
+    quantity) decorrelated into an aggregate join-back. The fact side
+    is pruned to the brand's parts FIRST (left-semi against the
+    filtered part table), so the per-part average aggregates only
+    ~1/n_brands of lineitem and the join-back frame is
+    brand-selectivity-sized. The correlated avg is over ALL lineitem
+    rows of each part, and the semi-join only drops whole part groups
+    the outer query never reads, so the per-part values are
+    unchanged. No broadcast hint anywhere — part and the aggregate
+    both scale with SF; AQE broadcasts them while small. The two uses
+    of the pruned frame are identical subplans, deduped by
+    ReuseExchange. Quantities are small integers stored as doubles:
+    integer sums are exact in float64, so sum/count and the 0.5×
+    threshold are bit-identical across engines and the `<` comparison
+    is deterministic."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+    branded = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+    per_part = branded.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        branded.join(per_part, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
@@ -475,10 +498,11 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19 shape: OR-of-AND predicate groups spanning both join sides
     (reference uses brand/container/size/shipmode; this corpus keeps
     brand/size/quantity). Catalyst extracts the common `p_partkey =
-    l_partkey` conjunct so the join stays a broadcast equi-join with
-    the disjunction as a post-join residual, and infers the single-
-    side OR fragments (brand IN, size ranges, quantity bounds) as
-    pushable scan filters on each input."""
+    l_partkey` conjunct so the join stays an equi-join (AQE picks
+    broadcast while part measures small — no hint, part scales with
+    SF) with the disjunction as a post-join residual, and infers the
+    single-side OR fragments (brand IN, size ranges, quantity bounds)
+    as pushable scan filters on each input."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     g1 = (
@@ -497,7 +521,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 40)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(g1 | g2 | g3)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
@@ -537,7 +561,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier was late on it) with non-equi suppkey residuals — three
     orderkey-keyed shuffles total, no correlated re-scan per row. The
     late-pairs frame is reused for both the candidates and the anti
-    side via persist."""
+    side via persist. supplier scales with SF (10k·sf rows) so the
+    final name join is unhinted — AQE broadcasts it while small."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
@@ -565,7 +590,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -629,16 +654,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on (part, cost) equality. The regional partsupp frame is
     computed once and persisted for both its aggregate and the
     join-back; cost ties keep every minimal supplier, identically in
-    both engines because costs are integer-valued. All dims
-    broadcast; the only shuffles are partsupp's distinct and the
-    per-part min."""
+    both engines because costs are integer-valued. Hints only on
+    nation/region (constant size); supplier and part scale with SF
+    and are unhinted — AQE broadcasts them while small. The only
+    shuffles are partsupp's distinct and the per-part min."""
     ps = _partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     eu = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "ps_supplycost")
@@ -656,11 +682,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (eu.ps_supplycost == F.col("min_cost")),
         )
         .drop("ch_partkey")
-        .join(F.broadcast(p), eu.ps_partkey == p.p_partkey)
+        .join(p, eu.ps_partkey == p.p_partkey)
         # fresh supplier/nation copies: the originals are already in
         # eu's lineage and re-joining them is ambiguous
         .join(
-            F.broadcast(_t(spark, sf_dir, "supplier").alias("s2")),
+            _t(spark, sf_dir, "supplier").alias("s2"),
             eu.ps_suppkey == F.col("s2.s_suppkey"),
         )
         .join(
@@ -700,8 +726,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     purpose: it scales linearly with part (4×part rows in real TPC-H
     — a fact table at 100 TB), so AQE decides — broadcast while it
     measures small, shuffle on the composite key once it doesn't.
-    The true dims (part/supplier/nation) stay hinted. Profit terms
-    are price products minus exact integer cost×qty."""
+    part and supplier scale with SF too, so they are equally
+    unhinted; only nation (25 rows, constant) keeps its hint.
+    Profit terms are price products minus exact integer cost×qty."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -712,12 +739,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -763,7 +790,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     asia = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -820,7 +847,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
     excess = (
-        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        ps.join(p, ps.ps_partkey == F.col("p_partkey"), "left_semi")
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),

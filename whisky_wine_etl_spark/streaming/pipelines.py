@@ -81,9 +81,16 @@ def multibatch_landing(spark: SparkSession, sf_dir: str, n_files: int = 3) -> st
     import os
     import tempfile
 
+    # keyed by (sf_dir, THIS session's app id): stable within a run so
+    # repeat calls reuse the same landing dir, but disjoint across
+    # concurrent suites on the same sf_dir — without the app id, one
+    # suite's overwrite could race another's file-stream listing
     dest = os.path.join(
         tempfile.gettempdir(),
-        "sg_multibatch_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "sg_multibatch_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + "_"
+        + hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:10],
     )
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
