@@ -89,6 +89,51 @@ def test_spark_real_resize_pipeline(spark):
         assert bytes(r.payload) == bmp.encode_bmp(expect)
 
 
+def test_ppm_roundtrip_header_and_rejects():
+    from whisky_wine_etl_spark.functions import ppm
+
+    for d in range(20):
+        w, h = 8 + d % 9, 8 + (d * 3) % 7
+        px = bmp.synth_pixels(d, w, h)
+        enc = ppm.encode_ppm(px)
+        assert len(enc) == ppm.ppm_size(w, h)
+        assert (ppm.decode_ppm(enc) == px).all()
+    # header: spec comments and arbitrary whitespace are accepted
+    enc = ppm.encode_ppm(bmp.synth_pixels(3, 9, 5))
+    body = enc[len(b"P6\n9 5\n255\n"):]
+    commented = b"P6 # a comment\n  9\t5 # dims\n255\n" + body
+    assert (ppm.decode_ppm(commented) == bmp.synth_pixels(3, 9, 5)).all()
+    with pytest.raises(ValueError):
+        ppm.decode_ppm(b"P5" + enc[2:])  # wrong magic (greyscale pgm)
+    with pytest.raises(ValueError):
+        ppm.decode_ppm(enc[:-5])  # truncated raster
+    with pytest.raises(ValueError):
+        ppm.decode_ppm(b"P6\n9 5\n65535\n" + body)  # 16-bit maxval
+
+
+def test_spark_real_resize_dispatches_mixed_formats(spark):
+    """One corpus, both codecs: resize_payload_real must sniff each
+    payload's magic and re-encode in the SAME format — the PPM rows
+    come back as P6 bytes, the BMP rows as BM bytes, pixel sums
+    identical across formats for the same doc."""
+    from whisky_wine_etl_spark.functions import ppm
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    as_bmp = mm.synthesize_bmp_corpus(docs)
+    as_ppm = mm.synthesize_ppm_corpus(docs)
+    mixed = as_bmp.filter("doc_id % 2 = 0").unionByName(as_ppm.filter("doc_id % 2 = 1"))
+    rows = {r.doc_id: r for r in mm.resize_payload_real(mixed).collect()}
+    assert len(rows) == 20
+    for doc_id, r in rows.items():
+        w, h = 8 + doc_id % 9, 8 + (doc_id * 3) % 7
+        expect = bmp.resize_nearest(bmp.synth_pixels(doc_id, w, h), 10, 10)
+        assert r.pixel_sum == int(expect.astype(np.int64).sum())
+        if doc_id % 2 == 0:
+            assert bytes(r.payload)[:2] == b"BM" and r.n_bytes == bmp.bmp_size(10, 10)
+        else:
+            assert bytes(r.payload)[:2] == b"P6" and r.n_bytes == ppm.ppm_size(10, 10) == 313
+
+
 def test_binary_file_source_roundtrips_bmp_corpus(spark, tmp_path):
     """Ingestion end-to-end: BMP payloads written as individual files,
     landed via the binaryFile source, decoded with the real codec —

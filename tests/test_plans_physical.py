@@ -223,6 +223,34 @@ def test_q21_decorrelates_to_semi_and_anti(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_join_spreads_key_and_matches_plain_join(spark):
+    """The explicit salted fact-fact join (operators/agg.py
+    salted_join, registered as q8_market_share_skew_safe): the join
+    key must include the salt columns (so a hot key spreads across
+    salt_buckets reducers), the right side must replicate via ONE
+    explode, and the result must be exactly the plain join's."""
+    from whisky_wine_etl_spark.operators.agg import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(li, o, "l_orderkey", "o_orderkey", salt_buckets=4)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "__lsalt" in plan and "__rsalt" in plan  # salt in the join key
+    assert plan.count("Generate explode") == 1  # right side replicated once
+    # salts never leak into the output schema
+    assert set(salted.columns) == {"l_orderkey", "l_quantity", "o_orderkey", "o_orderpriority"}
+    # result-invariance vs the plain inner join
+    plain = li.join(o, li.l_orderkey == o.o_orderkey)
+    assert salted.count() == plain.count()
+    key = lambda r: (r.l_orderkey, r.l_quantity, r.o_orderpriority)  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """100 TB posture: when a selective filter sits on one side of a
     fact-fact shuffle join, Spark's runtime bloom filter (on by

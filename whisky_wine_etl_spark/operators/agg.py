@@ -64,3 +64,44 @@ def salted_agg(
 
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*stage1_exprs)
     return partial.groupBy(*keys).agg(*stage2_exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe inner equi-join: spread each hot LEFT key over
+    `salt_buckets` shuffle partitions.
+
+    The left (skewed, usually larger) side gets a uniform random salt;
+    the right side is replicated once per salt value via a single
+    explode — so the join key becomes (key, salt) and a hot key's rows
+    land on `salt_buckets` different reducers instead of one straggler.
+    Exact for inner equi-joins: every (l, r) key match meets in exactly
+    one salt bucket (l's salt), and the right replication adds no
+    matches because salt values are join-conditioned, not emitted.
+
+    Cost model: right side is scanned once and replicated
+    `salt_buckets`× through the shuffle — use when the left side's
+    skew dominates right·salt_buckets, i.e. hot-key row count ≫
+    |right| · salt_buckets / parallelism. AQE's skew-join split
+    (spark.sql.adaptive.skewJoin) is the zero-code alternative for
+    sort-merge joins; this operator is the explicit fallback for
+    plans AQE can't split (e.g. when the skewed side is already
+    co-partitioned by an upstream stage, or a broadcast-excluded
+    strategy is pinned by hint).
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    l_s = left.withColumn("__lsalt", salt)
+    r_s = right.withColumn(
+        "__rsalt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    joined = l_s.join(
+        r_s,
+        (l_s[left_key] == r_s[right_key]) & (l_s["__lsalt"] == r_s["__rsalt"]),
+    )
+    return joined.drop(l_s["__lsalt"]).drop(r_s["__rsalt"])

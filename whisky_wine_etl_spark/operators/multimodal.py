@@ -12,16 +12,20 @@ parallelism) is real. Two codec tiers:
 - fake tier (synthesize_multimodal / resize_payload): UTF-8 document
   bytes stand in for media so every stage is cheap and oracle-checkable
   in plain SQL — the plumbing-only twin.
-- real tier (synthesize_bmp_corpus / resize_payload_real): actual
-  24-bit BMP images built, parsed, resampled and re-encoded by the
-  pure-Python codec in functions/bmp.py — no external image library
-  needed. Pixels are closed-form in (doc_id, x, y), so the decoded
-  statistics are still reproducible by the DuckDB oracle, while any
-  codec bug (row order, padding, truncation) shifts them.
+- real tier (synthesize_bmp_corpus / synthesize_ppm_corpus /
+  resize_payload_real): actual 24-bit BMP and binary-PPM (P6) images
+  built, parsed, resampled and re-encoded by the pure-Python codecs
+  in functions/bmp.py and functions/ppm.py — no external image
+  library needed. resize_payload_real sniffs each payload's magic and
+  re-encodes in the SAME format it decoded, the production
+  mixed-format-corpus shape. Pixels are closed-form in
+  (doc_id, x, y), so the decoded statistics are still reproducible by
+  the DuckDB oracle, while any codec bug (row order, padding,
+  truncation) shifts them.
 
-Formats beyond BMP (JPEG/PNG/audio/video) would go through PIL/libvips
-/ffmpeg, which this container does not ship — those decodes are
-import-gated (_decode_image) rather than faked.
+Formats beyond BMP/PPM (JPEG/PNG/audio/video) would go through
+PIL/libvips/ffmpeg, which this container does not ship — those
+decodes are import-gated (_decode_image) rather than faked.
 """
 
 from __future__ import annotations
@@ -80,18 +84,23 @@ def synthesize_multimodal(docs: DataFrame) -> DataFrame:
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
-    BMP decodes natively via the pure-Python codec (functions/bmp.py).
-    Other formats need PIL/libvips, which this container does not ship
-    — import-gated so the limitation fails loudly, not silently."""
+    BMP and binary PPM (P6) decode natively via the pure-Python codecs
+    (functions/bmp.py, functions/ppm.py). Other formats need
+    PIL/libvips, which this container does not ship — import-gated so
+    the limitation fails loudly, not silently."""
     if payload[:2] == b"BM":
         return bmp.decode_bmp(payload)
+    if payload[:2] == b"P6":
+        from whisky_wine_etl_spark.functions import ppm
+
+        return ppm.decode_ppm(payload)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL here
         raise NotImplementedError(
-            "non-BMP decode requires PIL; container ships without codecs"
+            "non-BMP/PPM decode requires PIL; container ships without codecs"
         ) from exc
-    raise NotImplementedError("non-BMP decode path not wired in this environment")
+    raise NotImplementedError("non-BMP/PPM decode path not wired in this environment")
 
 
 def synthesize_bmp_corpus(docs: DataFrame) -> DataFrame:
@@ -120,15 +129,43 @@ def synthesize_bmp_corpus(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(make, schema=out_schema)
 
 
+def synthesize_ppm_corpus(docs: DataFrame) -> DataFrame:
+    """Build a REAL image corpus of binary PPMs (P6) from `documents`:
+    same dimensions and closed-form pixels as synthesize_bmp_corpus
+    (the synthetic image is format-independent), encoded by the
+    pure-Python PPM codec in functions/ppm.py."""
+    out_schema = "doc_id bigint, width int, height int, payload binary"
+    root = _package_root()
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:  # worker-side path bootstrap (see above)
+            sys.path.insert(0, root)
+        from whisky_wine_etl_spark.functions import bmp as px_codec
+        from whisky_wine_etl_spark.functions import ppm as codec
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + (d * 3) % 7
+                rows.append((d, w, h, codec.encode_ppm(px_codec.synth_pixels(d, w, h))))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"])
+
+    return docs.select("doc_id").mapInPandas(make, schema=out_schema)
+
+
 def resize_payload_real(
     mm: DataFrame, target_w: int = 10, target_h: int = 10
 ) -> DataFrame:
-    """REAL-codec resize: decode each BMP payload, nearest-neighbor
-    resample to exactly (target_w, target_h), re-encode, then decode
-    the re-encoded bytes again for the reported pixel_sum — so the
-    output statistics cover the full decode→resize→encode→decode
-    round trip. A row-order, padding, or truncation bug anywhere in
-    the codec shifts pixel_sum away from the oracle's closed form."""
+    """REAL-codec resize: sniff each payload's magic (BMP or P6 PPM),
+    decode, nearest-neighbor resample to exactly (target_w, target_h),
+    re-encode in the SAME format, then decode the re-encoded bytes
+    again for the reported pixel_sum — so the output statistics cover
+    the full decode→resize→encode→decode round trip for whichever
+    codec the row arrived in (mixed-format corpora work per row). A
+    row-order, padding, or truncation bug anywhere in either codec
+    shifts pixel_sum away from the oracle's closed form."""
     out_schema = (
         "doc_id bigint, width int, height int, n_bytes int,"
         " pixel_sum bigint, payload binary"
@@ -141,14 +178,18 @@ def resize_payload_real(
         if root not in sys.path:  # worker-side path bootstrap (see above)
             sys.path.insert(0, root)
         from whisky_wine_etl_spark.functions import bmp as codec
+        from whisky_wine_etl_spark.functions import ppm as ppm_codec
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
-                out = codec.resize_nearest(
-                    codec.decode_bmp(bytes(payload)), target_w, target_h
-                )
-                enc = codec.encode_bmp(out)
-                roundtrip = codec.decode_bmp(enc)
+                raw = bytes(payload)
+                if raw[:2] == b"P6":
+                    decode, encode = ppm_codec.decode_ppm, ppm_codec.encode_ppm
+                else:
+                    decode, encode = codec.decode_bmp, codec.encode_bmp
+                out = codec.resize_nearest(decode(raw), target_w, target_h)
+                enc = encode(out)
+                roundtrip = decode(enc)
                 rows.append(
                     (
                         int(doc_id),

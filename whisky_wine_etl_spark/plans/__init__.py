@@ -21,3 +21,8 @@ def load_all() -> None:
         tpch_shapes,
         wine,
     )
+
+    # round3 LAST: it reuses earlier oracles at import time, and its
+    # queries must sort behind the still-unverified backlog in
+    # __spark_entry__.queries() (ties keep registration order)
+    from whisky_wine_etl_spark.plans import round3  # noqa: F401
