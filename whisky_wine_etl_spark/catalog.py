@@ -5,12 +5,14 @@ lineitem events documents embeddings — one parquet file each under
 /root/testdata/sf{0.001,0.01,0.1}/.
 
 Scale notes:
-- Explicit handling of `events.ts` (TIMESTAMP_NANOS in the parquet
-  footer, which Spark's vectorized reader rejects): we flip the
-  runtime-settable `spark.sql.legacy.parquet.nanosAsLong` conf, read
-  the column as int64 nanos, and convert with integer division to
-  microseconds (`ts div 1000`) — exact, no double rounding, matching
-  DuckDB's ns→µs truncation so oracle comparisons line up.
+- `events.ts` has shipped with a different physical type each driver
+  round (int64 TIMESTAMP_NANOS in rounds 1-2 — which Spark's parquet
+  reader rejects without `spark.sql.legacy.parquet.nanosAsLong` — and
+  plain µs TIMESTAMP_NTZ in round 3), so the loader normalizes BY
+  OBSERVED TYPE rather than assuming one: int64 nanos → exact integer
+  `div 1000` → `timestamp_micros` (no double rounding, matches
+  DuckDB's ns→µs truncation); TIMESTAMP_NTZ → cast to session-tz
+  timestamp (UTC session ⇒ identical wall-clock values either way).
 - Everything else is a plain columnar parquet scan: Catalyst pushes
   filters and prunes columns into the scan, which is the whole point
   at 100 TB.
@@ -22,6 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -39,19 +42,31 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize `ts` to session-tz TimestampType whatever the file's
+    physical type: int64 nanos (legacy nanosAsLong read) converts via
+    exact integer division; TIMESTAMP_NTZ casts (UTC session ⇒ same
+    wall clock); already-TimestampType passes through."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) — illegal for Spark's parquet reader.
-        # Read nanos as long (runtime-settable legacy conf), then
-        # convert exactly: integer `div 1000` → microseconds.
+        # nanosAsLong is harmless for µs files and required for nanos
+        # ones; set it for the footer read, then normalize by type.
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             df = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(path)
 
 

@@ -545,3 +545,68 @@ def connected_components(
         out = out.unionByName(singletons.localCheckpoint(eager=True))
     edges.unpersist()
     return out.select(F.col("node").alias(id_a.replace("_a", "_id")), F.col("label").alias("cluster_id"))
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus without
+    re-pairing the corpus against itself: the only work proportional
+    to history is one distinct-hash projection (at 100 TB that is the
+    dedup LEDGER — a bucketed table of md5s maintained across loads,
+    so the anti-join co-locates by bucket and never rescans text).
+    Within-batch duplicates collapse to the min-id row, exactly like
+    exact_dedup, so (ledger ∪ survivors) stays globally exact-deduped
+    load after load.
+
+    Returns one row per surviving new hash:
+    (text_md5, doc_id = min incoming id, n_batch_copies)."""
+    h = F.md5(normalized_text(F.col(text_col)))
+    seen = existing.select(h.alias("text_md5")).distinct()
+    inc = incoming.select(F.col(id_col), h.alias("text_md5"))
+    return (
+        inc.join(seen, "text_md5", "left_anti")
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_batch_copies"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact overlap-coefficient near-dup: |A∩B| / min(|A|, |B|) over
+    distinct word n-gram shingles. Catches CONTAINMENT — a short doc
+    quoted wholesale inside a long one — which Jaccard structurally
+    misses (|A∩B|/|A∪B| is dragged down by the long doc's extra
+    shingles). Same inverted-index shape as jaccard_pairs: one
+    shingle self-join for intersections (work ∝ collisions, not
+    pairs), two size lookups, threshold filter."""
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("__n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("__n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("__n_a", "__n_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

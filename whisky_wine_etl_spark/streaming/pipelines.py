@@ -4,10 +4,12 @@ Source: the file stream source (`readStream.parquet`) pointed at the
 testdata dir with a glob for `events.parquet` — on a cluster this is
 the standard landing-directory pattern (new files appear, each
 becomes a micro-batch; `maxFilesPerTrigger` bounds batch size).
-`events.ts` is TIMESTAMP(NANOS) in the footer, which Spark's reader
-rejects — the caller must set `spark.sql.legacy.parquet.nanosAsLong`
-(run_to_memory does) and the pipeline converts int64 nanos →
-microsecond timestamps exactly, matching the batch-side catalog.
+`events.ts` has shipped as both int64 TIMESTAMP(NANOS) and plain µs
+TIMESTAMP_NTZ across driver rounds, so the stream probes the footer
+for the ACTUAL raw schema and normalizes exactly like the batch-side
+catalog (catalog.normalize_event_ts); run_to_memory keeps
+`spark.sql.legacy.parquet.nanosAsLong` set during execution so the
+nanos variant still scans.
 
 Pipelines (each has a batch twin in plans/streaming_twins.py that the
 DuckDB oracle verifies; the streaming runs themselves execute with
@@ -31,24 +33,35 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Raw schema as read with nanosAsLong=true (ts arrives as int64 nanos).
-EVENTS_RAW_DDL = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
 _sink_counter = itertools.count()
+
+
+def _events_raw_schema(spark: SparkSession, sf_dir: str):
+    """Probe the events parquet footer for its ACTUAL raw schema —
+    `ts` has shipped as both int64 nanos and µs TIMESTAMP_NTZ across
+    driver rounds, and a file stream's fixed schema must match the
+    file's physical type or the scan nulls/rejects the column."""
+    import os
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    reader = spark.readStream.schema(EVENTS_RAW_DDL).option(
+    from whisky_wine_etl_spark.catalog import normalize_event_ts
+
+    reader = spark.readStream.schema(_events_raw_schema(spark, sf_dir)).option(
         "pathGlobFilter", "events.parquet"
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(sf_dir))
 
 
 def file_events_stream(
@@ -92,18 +105,12 @@ def multibatch_landing(spark: SparkSession, sf_dir: str, n_files: int = 3) -> st
         + "_"
         + hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:10],
     )
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        ev = (
-            spark.read.schema(EVENTS_RAW_DDL)
-            .parquet(os.path.join(sf_dir, "events.parquet"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .select("event_id", "ts", "user_id", "event_type", "value")
-        )
-        ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(dest)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    from whisky_wine_etl_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(dest)
     # part file names sort in range order; pin mtimes a minute apart so
     # the source's (mtime, path) ordering is unambiguous
     base = 1_700_000_000
