@@ -1,0 +1,120 @@
+"""Behavior/invariant tests for the round-3 operators: incremental
+(ledger) dedup, containment pairs, vocabulary top-k, compaction and
+ORC round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.operators import dedup as dd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_dedup_composes_to_global_exact(spark):
+    """The ledger invariant: (existing corpus's exact-dedup hashes) ∪
+    (incremental survivors' hashes) must equal the exact-dedup hash
+    set of the WHOLE corpus — i.e. batch-at-a-time ingestion with
+    incremental_dedup converges to the same deduped state as one
+    global pass."""
+    docs = load_table(spark, SF, "documents")
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    incoming = docs.filter(F.col("doc_id") % 4 == 0)
+
+    ledger = {r.text_md5 for r in dd.exact_dedup(existing).collect()}
+    survivors = {r.text_md5 for r in dd.incremental_dedup(existing, incoming).collect()}
+    global_hashes = {r.text_md5 for r in dd.exact_dedup(docs).collect()}
+
+    assert ledger | survivors == global_hashes
+    assert not (ledger & survivors)  # survivors are genuinely NEW hashes
+
+
+def test_incremental_dedup_collapses_within_batch(spark):
+    """Duplicates inside the incoming batch collapse to one min-id row
+    with the right copy count, even when the hash is new."""
+    existing = spark.createDataFrame([Row(doc_id=1, text="old doc")])
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="new doc"),
+            Row(doc_id=11, text="New  Doc"),  # same after normalization
+            Row(doc_id=12, text="old doc"),  # already in ledger → dropped
+        ]
+    )
+    out = {r.doc_id: r.n_batch_copies for r in dd.incremental_dedup(existing, incoming).collect()}
+    assert out == {10: 2}
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a much longer one has
+    containment 1.0 but low Jaccard — the exact reason the overlap
+    coefficient exists as a separate detector."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame([Row(doc_id=1, text=short), Row(doc_id=2, text=long)])
+
+    cont = dd.containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].doc_a == 1 and cont[0].doc_b == 2
+    assert cont[0].containment == 1.0
+
+    jac = dd.jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # Jaccard is diluted far below 0.5 by the long doc
+
+
+def test_containment_symmetric_inputs_match_jaccard(spark):
+    """For equal-size shingle sets, overlap coefficient == Jaccard
+    only when the sets are identical; sanity-pin both metrics on an
+    exact-duplicate pair."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="one two three four five"), Row(doc_id=2, text="one two three four five")]
+    )
+    cont = dd.containment_pairs(df, threshold=0.5).collect()
+    jac = dd.jaccard_pairs(df, threshold=0.5).collect()
+    assert cont[0].containment == 1.0
+    assert jac[0].jaccard == 1.0
+
+
+def test_vocab_topk_plan_takeordered(spark):
+    """Top-k by frequency must compile to TakeOrderedAndProject (no
+    global sort of the vocabulary) with a partial aggregation below."""
+    from whisky_wine_etl_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["text_vocab_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """32 scattered files compact to the byte-target count (1 here)
+    with content identical."""
+    from whisky_wine_etl_spark.sources import io as sio
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    docs.repartition(32).write.parquet(src)
+    n = sio.compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    assert n == 1
+    import glob
+
+    assert len(glob.glob(dst + "/part-*.parquet")) == 1
+    before = {(r.doc_id, r.n_chars) for r in docs.collect()}
+    after = {(r.doc_id, r.n_chars) for r in spark.read.parquet(dst).collect()}
+    assert before == after
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    """ORC write→read keeps the schema (names, types, nullability for
+    data columns) and every value."""
+    from whisky_wine_etl_spark.sources import io as sio
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "orc")
+    sio.write_orc(docs, path)
+    back = sio.read_orc(spark, path)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in docs.schema.fields
+    ]
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
