@@ -1,0 +1,75 @@
+"""Unit + end-to-end tests for the custom Python Data Source
+(sources/pyds.py): pushdown narrows the planned row range, partitions
+split it evenly, reads are deterministic and Arrow-batched."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    IsNotNull,
+    LessThan,
+)
+
+from whisky_wine_etl_spark.sources.pyds import RangeEventsDataSource, RangeEventsReader
+
+
+def test_push_filters_narrow_planned_range():
+    r = RangeEventsReader({"n_rows": "1000", "n_partitions": "4"})
+    unsupported = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("row_id",), 100),
+                LessThan(("row_id",), 900),
+                IsNotNull(("user_id",)),  # not ours → handed back
+            ]
+        )
+    )
+    assert r.lo == 100 and r.hi == 900
+    assert len(unsupported) == 1 and isinstance(unsupported[0], IsNotNull)
+    parts = r.partitions()
+    assert len(parts) == 4
+    assert parts[0].start == 100 and parts[-1].end == 900
+    # contiguous, non-overlapping
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+
+
+def test_push_filters_equal_to_pinpoints_one_row():
+    r = RangeEventsReader({"n_rows": "1000", "n_partitions": "4"})
+    list(r.pushFilters([EqualTo(("row_id",), 42)]))
+    assert (r.lo, r.hi) == (42, 43)
+    parts = r.partitions()
+    assert len(parts) == 1 and (parts[0].start, parts[0].end) == (42, 43)
+
+
+def test_read_partition_is_closed_form_arrow():
+    import pyarrow as pa
+
+    r = RangeEventsReader({"n_rows": "100", "n_partitions": "1"})
+    (batch,) = list(r.read(r.partitions()[0]))
+    assert isinstance(batch, pa.RecordBatch)
+    assert batch.num_rows == 100
+    i = 7
+    h = (i * 2654435761) % 2_147_483_648
+    assert batch.column("user_id")[i].as_py() == h % 1000
+    assert batch.column("event_type")[i].as_py() == f"type_{h % 5}"
+    assert batch.column("value")[i].as_py() == (h % 10_000) / 100.0
+
+
+def test_source_end_to_end_parallel_and_deterministic(spark):
+    spark.dataSource.register(RangeEventsDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("range_events")
+        .option("n_rows", 5000)
+        .option("n_partitions", 6)
+        .load()
+        .filter(F.col("row_id") < 3000)
+    )
+    assert df.rdd.getNumPartitions() == 6
+    first = df.agg(F.count(F.lit(1)), F.sum("user_id"), F.sum("value")).collect()[0]
+    second = df.agg(F.count(F.lit(1)), F.sum("user_id"), F.sum("value")).collect()[0]
+    assert first == second
+    assert first[0] == 3000

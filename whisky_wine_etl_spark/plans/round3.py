@@ -264,3 +264,37 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sio.write_orc(docs, path)
     return sio.read_orc(spark, path)
+
+
+@query(
+    "pyds_range_events",
+    """
+SELECT i AS row_id,
+       (i * 2654435761) % 2147483648 % 1000 AS user_id,
+       'type_' || CAST((i * 2654435761) % 2147483648 % 5 AS VARCHAR) AS event_type,
+       ((i * 2654435761) % 2147483648 % 10000) / 100.0 AS value
+FROM range(20000) t(i)
+WHERE i >= 2500 AND i < 15000
+""",
+)
+def pyds_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source end to end (sources/pyds.py): the
+    registered `range_events` connector generates 20k closed-form rows
+    across 8 parallel partitions; the row_id predicates PUSH DOWN into
+    the source (its partitions() plans only [2500, 15000) after
+    pushFilters), and the oracle recomputes every cell from the same
+    arithmetic — value-exact verification of partition math, Arrow
+    conversion, and pushdown pruning."""
+    from whisky_wine_etl_spark.sources.pyds import RangeEventsDataSource
+
+    spark.dataSource.register(RangeEventsDataSource)
+    # runtime-settable; a reader that implements pushFilters() is
+    # REJECTED outright (not just unpushed) while this is false
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("range_events")
+        .option("n_rows", 20000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.filter((F.col("row_id") >= 2500) & (F.col("row_id") < 15000))
