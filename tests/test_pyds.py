@@ -73,3 +73,35 @@ def test_source_end_to_end_parallel_and_deterministic(spark):
     second = df.agg(F.count(F.lit(1)), F.sum("user_id"), F.sum("value")).collect()[0]
     assert first == second
     assert first[0] == 3000
+
+
+def test_stream_source_offsets_persist_across_runs(spark, tmp_path):
+    """Three availableNow runs over ONE checkpoint each drain exactly
+    the next batch_size slice — committed offsets carry across
+    restarts, the exactly-once contract a streaming source must
+    honor."""
+    spark.dataSource.register(RangeEventsDataSource)
+    chk = str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+    for run in range(3):
+        sdf = (
+            spark.readStream.format("range_events")
+            .option("n_rows", 12000)
+            .option("batch_size", 4000)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = spark.read.parquet(out_dir)
+        assert got.count() == 4000 * (run + 1)
+        assert got.agg(F.max("row_id")).collect()[0][0] == 4000 * (run + 1) - 1
+    # all 12000 distinct — no replays leaked into the sink
+    assert spark.read.parquet(out_dir).select("row_id").distinct().count() == 12000

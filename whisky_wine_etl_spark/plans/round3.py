@@ -298,3 +298,29 @@ def pyds_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.filter((F.col("row_id") >= 2500) & (F.col("row_id") < 15000))
+
+
+@query(
+    "pyds_stream_range",
+    """
+SELECT i AS row_id,
+       (i * 2654435761) % 2147483648 % 1000 AS user_id,
+       'type_' || CAST((i * 2654435761) % 2147483648 % 5 AS VARCHAR) AS event_type,
+       ((i * 2654435761) % 2147483648 % 10000) / 100.0 AS value
+FROM range(12000) t(i)
+""",
+)
+def pyds_stream_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector's STREAMING face (SimpleDataSourceStream-
+    Reader): offsets are row indices, availableNow drains everything
+    the source reports available, and the memory-sink result must
+    hash-match the closed-form oracle — verifying offset bookkeeping
+    and the row generator through the streaming engine. Cross-run
+    offset persistence (micro-batch at a time over a shared
+    checkpoint) is exercised in tests/test_pyds.py."""
+    from whisky_wine_etl_spark.sources.pyds import RangeEventsDataSource
+    from whisky_wine_etl_spark.streaming.pipelines import run_to_memory
+
+    spark.dataSource.register(RangeEventsDataSource)
+    sdf = spark.readStream.format("range_events").option("n_rows", 12000).load()
+    return run_to_memory(spark, sdf, "append")

@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 # Knuth multiplicative hash; mod 2^31 keeps every intermediate far
@@ -124,3 +125,41 @@ class RangeEventsDataSource(DataSource):
 
     def reader(self, schema) -> RangeEventsReader:
         return RangeEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "RangeEventsStreamReader":
+        return RangeEventsStreamReader(self.options)
+
+
+class RangeEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same connector: offsets are row indices,
+    each read() call returns the next `batch_size` rows as one
+    micro-batch until `n_rows` is exhausted (then the offset stops
+    advancing and the stream has no more available data).
+    readBetweenOffsets replays any [start, end) deterministically —
+    the exactly-once recovery contract — because rows are closed-form
+    in the index, state-free by construction."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.batch_size = int(options.get("batch_size", self.n_rows))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        s = int(start["i"])
+        e = min(s + self.batch_size, self.n_rows)
+        return iter(self._rows(s, e)), {"i": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["i"]), int(end["i"])))
+
+    @staticmethod
+    def _rows(s: int, e: int) -> list[tuple]:
+        # a LIST iterator, not a generator: Spark's prefetching cache
+        # copy.copy()s the returned iterator, which generators reject
+        return [
+            (i, h % 1000, f"type_{h % 5}", (h % 10_000) / 100.0)
+            for i in range(s, e)
+            for h in ((i * MULT) % MOD,)
+        ]
