@@ -246,3 +246,24 @@ def test_multibatch_landing_is_range_ordered_and_multi_batch(spark):
     data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     q.stop()
     assert len(data_batches) == 3  # one micro-batch per file
+
+
+def test_tws_matches_applyinpandaswithstate(spark):
+    """Spark 4's transformWithStateInPandas twin must emit row-for-row
+    what the applyInPandasWithState operator emits. The TWS state
+    server speaks protobuf from a separate python worker; skip when
+    the environment can't import it (this container ships no
+    google.protobuf), keeping the operator gated, not broken."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from whisky_wine_etl_spark.streaming import pipelines as sp
+    from whisky_wine_etl_spark.streaming.stateful import (
+        running_anomalies,
+        running_anomalies_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sp.run_to_memory(spark, running_anomalies(sp.events_stream(spark, sf)), "append")
+    b = sp.run_to_memory(spark, running_anomalies_tws(sp.events_stream(spark, sf)), "append")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -71,3 +71,78 @@ def running_anomalies(events: DataFrame, factor: float = 2.0) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Same operator on Spark 4's transformWithStateInPandas — the successor
+# API: state lives in named, schema'd handles (value/list/map + timers)
+# instead of one opaque tuple, so an operator can hold several state
+# shapes and the store can evolve them independently.
+#
+# Environment gate: TWS runs a separate Python state-server worker
+# that speaks protobuf; containers without google.protobuf can import
+# and PLAN this operator but the stream crashes at start. It is
+# therefore not a registered driver query here; its equivalence to the
+# applyInPandasWithState twin is pinned by a test that skips where
+# protobuf is absent (tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningAnomalyProcessor(StatefulProcessor):
+    """ValueState twin of `_flag_anomalies`: per-user running
+    (count, sum) persisted across micro-batches; an event is anomalous
+    when value > factor × mean of that user's PRIOR events. Output is
+    row-for-row identical to the applyInPandasWithState path (pinned
+    in tests), so the same DuckDB window-function oracle verifies
+    both."""
+
+    def __init__(self, factor: float = 2.0) -> None:
+        self._factor = factor
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", "cnt long, sm double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        cnt, sm = self._agg.get() if self._agg.exists() else (0, 0.0)
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            flags = []
+            for v in pdf["value"]:
+                flags.append(cnt > 0 and v > self._factor * (sm / cnt))
+                cnt += 1
+                sm += float(v)
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "value": pdf["value"].to_numpy(),
+                    "anomalous": flags,
+                }
+            )
+        self._agg.update((cnt, sm))
+
+    def close(self) -> None:
+        pass
+
+
+def running_anomalies_tws(events: DataFrame, factor: float = 2.0) -> DataFrame:
+    """events (streaming) → per-event anomaly flags via
+    transformWithStateInPandas (timeMode="none": no watermark-driven
+    state expiry; the state is two scalars per user, bounded by the
+    user population exactly like the applyInPandasWithState twin)."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningAnomalyProcessor(factor),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
