@@ -105,3 +105,51 @@ def test_stream_source_offsets_persist_across_runs(spark, tmp_path):
         assert got.agg(F.max("row_id")).collect()[0][0] == 4000 * (run + 1) - 1
     # all 12000 distinct — no replays leaked into the sink
     assert spark.read.parquet(out_dir).select("row_id").distinct().count() == 12000
+
+
+def test_manifest_sink_commit_abort_and_orphans(spark, tmp_path):
+    """The transactional contract: abort() removes a task's part file;
+    files outside _MANIFEST (stragglers from crashed tasks) are
+    invisible to the reader; append merges manifests."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from whisky_wine_etl_spark.sources.pyds import (
+        ManifestJsonlDataSource,
+        ManifestJsonlWriter,
+    )
+
+    spark.dataSource.register(ManifestJsonlDataSource)
+    path = str(tmp_path / "mj")
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    df.write.format("manifest_jsonl").mode("append").save(path)
+
+    # orphan straggler: on disk, not in the manifest → not in the table
+    orphan = os.path.join(path, "data", "part-orphan.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"a": 99, "b": "ghost"}\n')
+    back = spark.read.format("manifest_jsonl").schema(df.schema).option("path", path).load()
+    assert back.count() == 2
+    assert back.filter("a = 99").count() == 0
+
+    # append merges manifests
+    df.write.format("manifest_jsonl").mode("append").save(path)
+    back2 = spark.read.format("manifest_jsonl").schema(df.schema).option("path", path).load()
+    assert back2.count() == 4
+
+    # abort removes the task's uncommitted file and leaves no manifest
+    w = ManifestJsonlWriter({"path": str(tmp_path / "aborted")}, overwrite=False)
+    msg = w.write(iter([Row(a=5, b="z")]))
+    assert os.path.exists(msg.path)
+    w.abort([msg])
+    assert not os.path.exists(msg.path)
+    assert not os.path.exists(str(tmp_path / "aborted" / "_MANIFEST"))
+
+    # overwrite publishes a FRESH manifest (old files become invisible)
+    df.limit(1).write.format("manifest_jsonl").mode("overwrite").save(path)
+    back3 = spark.read.format("manifest_jsonl").schema(df.schema).option("path", path).load()
+    assert back3.count() == 1
+    manifest = json.load(open(os.path.join(path, "_MANIFEST")))
+    assert len(manifest["files"]) == 1

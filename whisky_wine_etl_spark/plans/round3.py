@@ -324,3 +324,29 @@ def pyds_stream_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(RangeEventsDataSource)
     sdf = spark.readStream.format("range_events").option("n_rows", 12000).load()
     return run_to_memory(spark, sdf, "append")
+
+
+@query(
+    "pyds_manifest_sink_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def pyds_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python Data Source write API: documents go
+    through the manifest-committed JSONL writer (executors write
+    uncommitted part files; only the driver's commit() publishes them
+    into _MANIFEST — the object-store-safe publication pattern) and
+    come back through the manifest reader, which trusts the manifest
+    exclusively. Hash-exact vs the original pins the writer's
+    serialization, the commit protocol, and the reader's parsing.
+    Overwrite mode keeps the query idempotent across reruns."""
+    from whisky_wine_etl_spark.sources.pyds import ManifestJsonlDataSource
+
+    spark.dataSource.register(ManifestJsonlDataSource)
+    path = _scratch_dir(spark, sf_dir, "manifest_jsonl")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.write.format("manifest_jsonl").mode("overwrite").save(path)
+    return (
+        spark.read.format("manifest_jsonl").schema(docs.schema).option("path", path).load()
+    )

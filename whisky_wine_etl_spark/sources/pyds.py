@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -34,6 +35,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # Knuth multiplicative hash; mod 2^31 keeps every intermediate far
@@ -163,3 +165,119 @@ class RangeEventsStreamReader(SimpleDataSourceStreamReader):
             for i in range(s, e)
             for h in ((i * MULT) % MOD,)
         ]
+
+
+# ---------------------------------------------------------------------------
+# Write side of the API: a manifest-committed JSONL table. The commit
+# protocol is the part that matters at scale — object stores have no
+# atomic directory rename, so "which files are part of the table" must
+# be a single atomic manifest write, never a directory listing.
+# Executors write uncommitted part files and return commit messages;
+# only the driver's commit() publishes them into _MANIFEST; abort()
+# deletes the orphans. Readers trust the manifest exclusively, so a
+# crashed job's stragglers are invisible by construction.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class JsonlCommitMessage(WriterCommitMessage):
+    path: str
+    count: int
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonlCommitMessage:
+        # executor-side: one uncommitted part file per task
+        import json
+        import os
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        fname = os.path.join(self.path, "data", f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommitMessage(path=fname, count=n)
+
+    def commit(self, messages) -> None:
+        # driver-side, runs once, after every task succeeded: publish
+        # atomically via write-temp-then-rename of the manifest
+        import json
+        import os
+
+        manifest = os.path.join(self.path, "_MANIFEST")
+        entries = []
+        if not self.overwrite and os.path.exists(manifest):
+            with open(manifest) as f:
+                entries = json.load(f)["files"]
+        entries.extend(
+            {"path": m.path, "count": m.count} for m in messages if m is not None
+        )
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": entries}, f)
+        os.replace(tmp, manifest)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+@dataclass
+class JsonlFilePartition(InputPartition):
+    path: str
+
+
+class ManifestJsonlReader(DataSourceReader):
+    def __init__(self, schema, options: dict) -> None:
+        self.schema = schema
+        self.path = options["path"]
+
+    def partitions(self):
+        import json
+        import os
+
+        manifest = os.path.join(self.path, "_MANIFEST")
+        with open(manifest) as f:
+            files = json.load(f)["files"]
+        # one partition per COMMITTED file — stragglers in data/ that
+        # never made the manifest are not part of the table
+        return [JsonlFilePartition(e["path"]) for e in files]
+
+    def read(self, partition: JsonlFilePartition):
+        import json
+
+        names = [f.name for f in self.schema.fields]
+        with open(partition.path) as f:
+            for line in f:
+                d = json.loads(line)
+                yield tuple(d.get(n) for n in names)
+
+
+class ManifestJsonlDataSource(DataSource):
+    """`manifest_jsonl` format: schema comes from the user
+    (.schema(...) on read; the written frame on write)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def schema(self) -> str:
+        raise NotImplementedError(
+            "manifest_jsonl requires an explicit .schema(...) on read"
+        )
+
+    def reader(self, schema) -> ManifestJsonlReader:
+        return ManifestJsonlReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> ManifestJsonlWriter:
+        return ManifestJsonlWriter(self.options, overwrite)
