@@ -57,6 +57,10 @@ HEADLINE = [
     "join_range_binned_attribution",  # interval join as binned equi-join
     "merge_scd2_segment",             # SCD2 dimension maintenance
     "rollup_incremental_day",         # hourly partials → daily rollup
+    "q8_market_share_skew_safe",      # explicit salted fact-fact join
+    "dedup_incremental",              # ledger dedup: batch vs corpus hashes
+    "dedup_containment",              # exact overlap-coefficient pairs
+    "text_vocab_topk",                # corpus vocabulary head (tf+df top-k)
 ]
 
 

@@ -350,3 +350,84 @@ def pyds_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("manifest_jsonl").schema(docs.schema).option("path", path).load()
     )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT n_name, c_name, c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_topn_per_nation", _LATERAL_TOPN_SQL)
+def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (Spark 4):
+    per-nation top-2 customers by balance, the same text running on
+    DuckDB as the oracle. Catalyst decorrelates the lateral into a
+    ranked window + filter — per-group top-n without hand-writing the
+    window; ties broken by name so the LIMIT is deterministic."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE m(mon) AS (
+  SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12
+),
+oc AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders
+  WHERE year(o_orderdate) = 1997
+  GROUP BY 1
+)
+SELECT m.mon, COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(revenue, 0.0) AS revenue
+FROM m LEFT JOIN oc ON oc.mon = m.mon
+"""
+
+
+@query("sql_recursive_month_spine", _RECURSIVE_SPINE_SQL)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE) generating a 12-month
+    spine, left-joined to 1997 monthly order rollups so empty months
+    survive with zeros — the standard report-spine pattern, identical
+    text on both engines. The recursion is driver-trivial (12 rows);
+    the data-side work stays one partial-agg'd groupBy."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+@query(
+    "func_sql_udf_tier",
+    """
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1
+""",
+)
+def func_sql_udf_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4.1 CREATE FUNCTION ... RETURN
+    expr): the function body inlines into the plan as an expression —
+    Catalyst sees the CASE, not a black box, so codegen and pushdown
+    survive (unlike a Python UDF). The oracle inlines the same
+    expression by hand."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_tier(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p >= 200000 THEN 'high' "
+        "WHEN p >= 100000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        "SELECT order_tier(o_totalprice) AS tier, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(AVG(o_totalprice), 2) AS avg_price FROM orders GROUP BY 1"
+    )
