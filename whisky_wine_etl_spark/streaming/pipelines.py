@@ -36,19 +36,30 @@ from pyspark.sql import functions as F
 _sink_counter = itertools.count()
 
 
+_events_schema_cache: dict[str, object] = {}
+
+
 def _events_raw_schema(spark: SparkSession, sf_dir: str):
     """Probe the events parquet footer for its ACTUAL raw schema —
     `ts` has shipped as both int64 nanos and µs TIMESTAMP_NTZ across
     driver rounds, and a file stream's fixed schema must match the
-    file's physical type or the scan nulls/rejects the column."""
+    file's physical type or the scan nulls/rejects the column.
+    Memoized per path: the testdata files are immutable within a run,
+    and the probe otherwise re-reads the footer on every stream
+    definition (measurable in the bench's streaming query)."""
     import os
 
+    path = os.path.join(sf_dir, "events.parquet")
+    if path in _events_schema_cache:
+        return _events_schema_cache[path]
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        schema = spark.read.parquet(path).schema
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    _events_schema_cache[path] = schema
+    return schema
 
 
 def events_stream(
