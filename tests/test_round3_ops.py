@@ -118,3 +118,30 @@ def test_orc_roundtrip_preserves_types(spark, tmp_path):
         (f.name, f.dataType) for f in docs.schema.fields
     ]
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ... ORDER BY ... LIMIT subquery must compile to a
+    decorrelated window with WindowGroupLimit (partial top-k pushed
+    below the shuffle) — never a per-outer-row nested loop."""
+    from whisky_wine_etl_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["sql_lateral_topn_per_nation"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "WindowGroupLimit" in opt
+    assert "LateralJoin" not in opt
+
+
+def test_containment_stop_shingle_pruning_bounds_recall_only(spark):
+    """With a frequency cap, containment keeps every pair that shares
+    at least one sub-cap shingle (subset of the exact result, correct
+    scores for survivors) — the documented skew/recall trade."""
+    docs = load_table(spark, SF, "documents")
+    exact = {(r.doc_a, r.doc_b): r.containment for r in dd.containment_pairs(docs, 0.8).collect()}
+    pruned = {(r.doc_a, r.doc_b): r.containment for r in dd.containment_pairs(docs, 0.8, max_shingle_freq=50).collect()}
+    assert set(pruned) <= set(exact)
+    # NOTE: pruning shrinks |A∩B| for survivors too (dropped common
+    # shingles), so scores may only DECREASE, never increase
+    for pair, c in pruned.items():
+        assert c <= exact[pair] + 1e-9

@@ -580,6 +580,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact overlap-coefficient near-dup: |A∩B| / min(|A|, |B|) over
     distinct word n-gram shingles. Catches CONTAINMENT — a short doc
@@ -587,9 +588,20 @@ def containment_pairs(
     misses (|A∩B|/|A∪B| is dragged down by the long doc's extra
     shingles). Same inverted-index shape as jaccard_pairs: one
     shingle self-join for intersections (work ∝ collisions, not
-    pairs), two size lookups, threshold filter."""
+    pairs), two size lookups, threshold filter.
+
+    max_shingle_freq is the same stop-shingle skew lever jaccard_pairs
+    carries: on a Zipfian corpus a frequent shingle's posting list
+    makes collisions quadratic in its length, and dropping postings
+    longer than the cap bounds the self-join at the cost of recall
+    only for pairs whose every common shingle is ultra-frequent.
+    Sizes are computed BEFORE pruning so the denominator stays the
+    true shingle-set size."""
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_freq is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(keep.select("shingle"), "shingle")
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
