@@ -145,3 +145,22 @@ def test_containment_stop_shingle_pruning_bounds_recall_only(spark):
     # shingles), so scores may only DECREASE, never increase
     for pair, c in pruned.items():
         assert c <= exact[pair] + 1e-9
+
+
+def test_arrow_norm_stats_ragged_lists(spark):
+    """The mapInArrow operator must fall back to offset-sliced views
+    when a batch's lists are ragged (reshape would be wrong or
+    impossible) and still produce exact norms."""
+    import math
+
+    from whisky_wine_etl_spark.operators.similarity import embedding_norm_stats_arrow
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 2.0, 2.0]), (3, [5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.l2_norm, r.unit_head) for r in embedding_norm_stats_arrow(df).collect()}
+    assert out[1] == (5.0, 0.6)
+    assert out[2] == (3.0, round(1.0 / 3.0, 6))
+    assert out[3] == (5.0, 1.0)
+    assert math.isfinite(out[1][1])

@@ -440,3 +440,47 @@ def semantic_dedup(
     return comp.filter(F.col("vec_id") != F.col("cluster_id")).select(
         "vec_id", F.col("cluster_id").alias("rep_id")
     )
+
+
+def embedding_norm_stats_arrow(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """L2-norm statistics via mapInArrow — the zero-copy tier below
+    Pandas UDFs: batches arrive as pyarrow RecordBatches, the list
+    column's flat value buffer reshapes straight into a NumPy matrix
+    (no pandas Series materialization, no per-row objects), and one
+    vectorized matmul-free pass emits (vec_id, l2_norm, unit_head =
+    first component of the unit vector). Variable-length lists are
+    handled through the Arrow offsets, so a ragged batch degrades to
+    a per-row view instead of reshaping wrong.
+
+    Rounding grain (norm 4dp, head 6dp) follows the repo rule: both
+    engines sum the same 64 float32-squared terms in float64; order
+    noise ~1e-13 is far under the half-spacing of either grain."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(0)
+            emb = b.column(1)
+            flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = emb.offsets.to_numpy()
+            starts, ends = offs[:-1], offs[1:]
+            widths = ends - starts
+            if len(widths) and (widths == widths[0]).all():
+                m = flat[starts[0] : ends[-1]].reshape(len(widths), widths[0])
+                sq = (m * m).sum(axis=1)
+                heads = m[:, 0]
+            else:  # ragged fallback: per-row slices over the same buffer
+                sq = np.array([(flat[s:e] ** 2).sum() for s, e in zip(starts, ends)])
+                heads = np.array([flat[s] if e > s else 0.0 for s, e in zip(starts, ends)])
+            norms = np.sqrt(sq)
+            unit_head = heads / np.maximum(norms, 1e-300)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.round(norms, 4)), pa.array(np.round(unit_head, 6))],
+                names=[id_col, "l2_norm", "unit_head"],
+            )
+
+    return df.select(id_col, "embedding").mapInArrow(
+        fn, schema=f"{id_col} long, l2_norm double, unit_head double"
+    )

@@ -431,3 +431,29 @@ def func_sql_udf_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT order_tier(o_totalprice) AS tier, CAST(COUNT(*) AS BIGINT) AS n, "
         "ROUND(AVG(o_totalprice), 2) AS avg_price FROM orders GROUP BY 1"
     )
+
+
+@query(
+    "udf_arrow_norm_stats",
+    """
+WITH n AS (
+  SELECT vec_id,
+         SQRT(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         CAST(embedding[1] AS DOUBLE) AS head
+  FROM embeddings
+)
+SELECT vec_id, ROUND(nrm, 4) AS l2_norm,
+       ROUND(head / GREATEST(nrm, 1e-300), 6) AS unit_head
+FROM n
+""",
+)
+def udf_arrow_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (operators/similarity.py
+    embedding_norm_stats_arrow): RecordBatches in, the list column's
+    flat buffer reshaped to a matrix, one vectorized pass out — the
+    zero-copy tier below Pandas UDFs, value-exact against the SQL
+    fold at the registered rounding grains."""
+    from whisky_wine_etl_spark.operators.similarity import embedding_norm_stats_arrow
+
+    return embedding_norm_stats_arrow(_t(spark, sf_dir, "embeddings"))
