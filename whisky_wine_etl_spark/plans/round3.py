@@ -457,3 +457,87 @@ def udf_arrow_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisky_wine_etl_spark.operators.similarity import embedding_norm_stats_arrow
 
     return embedding_norm_stats_arrow(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "events_cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, a.act_day) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM firsts f JOIN activity a ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention at DAILY grain (the events corpus spans one
+    month, so day cohorts are the meaningful resolution): users
+    grouped by first-activity day, counted distinct at every day
+    offset they return. Two aggregations over one events scan
+    (first-touch, distinct activity) joined on user_id — the join key
+    is the high-cardinality user, so it shuffles evenly; day
+    arithmetic on DATE-floored values is integral in both engines."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    activity = e.select("user_id", F.col("ts").cast("date").alias("act_day")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("act_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "stat_profile_documents",
+    """
+SELECT 'doc_id' AS column_name,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT),
+       CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'source', CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+""",
+)
+def stat_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiler: per-column null count, exact distinct,
+    min/max (stringified for a uniform schema) — computed in a SINGLE
+    aggregate over one scan (Catalyst's Expand handles the multiple
+    COUNT(DISTINCT)s), then unpivoted to one row per column via
+    stack(). The oracle's 4-scan UNION ALL is the semantic spec; the
+    engine does it in one."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)"
+    )
