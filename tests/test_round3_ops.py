@@ -164,3 +164,32 @@ def test_arrow_norm_stats_ragged_lists(spark):
     assert out[2] == (3.0, round(1.0 / 3.0, 6))
     assert out[3] == (5.0, 1.0)
     assert math.isfinite(out[1][1])
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Large-star/small-star must produce EXACTLY the clustering of
+    min-label propagation on the real near-dup pair graph, including
+    singleton coverage."""
+    docs = load_table(spark, SF, "documents")
+    pairs = dd.jaccard_pairs(docs, 0.5)
+    nodes = docs.select("doc_id")
+    a = {(r.doc_id, r.cluster_id) for r in dd.connected_components(pairs, nodes=nodes).collect()}
+    b = {(r.doc_id, r.cluster_id) for r in dd.connected_components_star(pairs, nodes=nodes).collect()}
+    assert a == b
+
+
+def test_star_cc_converges_on_long_chain(spark):
+    """A 400-edge path is exactly the adversarial case: label
+    propagation needs O(length) rounds (and raises at its default
+    cap), while the star algorithm converges in O(log n) rounds and
+    labels the whole chain with its minimum."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain)
+    out = dd.connected_components_star(chain).collect()
+    assert len(out) == 401
+    assert {r.cluster_id for r in out} == {0}

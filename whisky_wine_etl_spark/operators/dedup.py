@@ -622,3 +622,119 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same contract as connected_components (cluster_id = min reachable
+    node id, optional isolated-node coverage), but O(log n) rounds
+    instead of O(diameter): the long-chain graphs that make min-label
+    propagation hit its iteration cap and raise are exactly where this
+    one converges in a handful of rounds.
+
+    Per round, two phases of one groupBy + one join each:
+    - large-star: every node u computes m = min(N(u) ∪ {u}) and
+      re-points its LARGER neighbors v > u at m — long tails collapse
+      toward small ids without ever disconnecting a component;
+    - small-star: on the now high→low edge set, u re-points its
+      smaller neighbors AND itself at m — stars flatten.
+    The edge multiset is monotonically "improving"; convergence is an
+    order-insensitive checksum (count + sum of pair-hashes) going
+    stable, one scalar collect per round. Each round localCheckpoints
+    the edge frame so the plan does not grow with the iteration count
+    (cluster deployments: setCheckpointDir + checkpoint()).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    out_name = id_a.replace("_a", "_id")
+
+    if nodes is not None:
+        iso = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .exceptAll(
+                edges.select(F.col("src").alias("node"))
+                .unionAll(edges.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+
+    def checksum(e: DataFrame) -> tuple:
+        # bit_xor, not sum: order-insensitive over the (distinct) edge
+        # set and immune to ANSI long-overflow on summed 64-bit hashes
+        row = e.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(src, dst))")
+        ).collect()[0]
+        return (row[0], row[1])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = (
+            e.select("src", "dst")
+            .unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input edges point high→low (large-star emits (v, m), m < v)
+        mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+        repointed = (
+            e.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        self_edges = mins.select("src", F.col("m").alias("dst"))
+        return (
+            repointed.unionAll(self_edges)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    prev = checksum(edges)
+    converged = edges.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds — "
+            "for a graph on 64-bit ids this bound should never bind; "
+            "raise max_rounds only after checking the edge data."
+        )
+
+    # converged edge set is a star forest: child → root(min id)
+    roots = edges.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    members = edges.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    out = members.unionByName(roots)
+    if nodes is not None:
+        out = out.unionByName(iso)
+    return out.select(F.col("node").alias(out_name), F.col("label").alias("cluster_id"))

@@ -541,3 +541,18 @@ def stat_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_str, max_str)"
     )
+
+
+@query("dedup_clusters_star", ORACLES["dedup_clusters"])
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters re-run through alternating large-star/small-star
+    connected components (operators/dedup.py connected_components_star)
+    against the SAME recursive-CTE oracle: O(log n) rounds instead of
+    O(diameter), which is the scale-correct choice when near-dup
+    chains can be long (label propagation raises past its cap; the
+    star algorithm converges — both behaviors pinned in tests)."""
+    from whisky_wine_etl_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, threshold=0.5)
+    return dd.connected_components_star(pairs, nodes=docs.select("doc_id"))
