@@ -556,3 +556,86 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(docs, threshold=0.5)
     return dd.connected_components_star(pairs, nodes=docs.select("doc_id"))
+
+
+@query(
+    "window_session_native",
+    """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, session_no
+""",
+)
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window in BATCH mode: one groupBy on
+    (session_window(ts, 30 min), user_id) — the engine merges
+    overlapping per-row windows into gap-separated sessions inside the
+    aggregate, no window-function passes. The oracle derives the same
+    sessions with the classic gaps-and-islands SQL; start timestamps
+    and event counts must agree exactly. (The window's END differs by
+    definition — Spark pads the last event by the gap — so the
+    comparison pins start + membership, the definition-independent
+    parts.)"""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "agg_histogram_value",
+    """
+WITH params AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 20.0)) AS INT), 19) AS bucket
+  FROM events, params
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+""",
+)
+def agg_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of events.value: one tiny min/max
+    agg (broadcast as a 1-row frame — constant size at every SF, the
+    one legitimate hint), then pure-arithmetic bucketing and a
+    partial-agg'd count. The float edge case is pinned by LEAST(...,
+    19): the max value lands in the last bin on both engines instead
+    of a 21st bin."""
+    e = _t(spark, sf_dir, "events")
+    params = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    return (
+        e.crossJoin(F.broadcast(params))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width).cast("int"), F.lit(19)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
