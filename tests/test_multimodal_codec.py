@@ -161,3 +161,52 @@ def test_binary_file_source_roundtrips_bmp_corpus(spark, tmp_path):
         assert r.length == n_bytes
         px = bmp.decode_bmp(bytes(r.content))
         assert px.shape == (h, w, 3)
+
+
+def test_wav_roundtrip_bit_exact():
+    import numpy as np
+
+    from whisky_wine_etl_spark.functions import wav
+
+    s = wav.synth_samples(7, 840)
+    payload = wav.encode_wav(s, 12000)
+    assert len(payload) == wav.CANONICAL_HEADER_BYTES + 2 * 840
+    rate, back = wav.decode_wav(payload)
+    assert rate == 12000
+    assert np.array_equal(back, s)
+
+
+def test_wav_decoder_walks_unknown_chunks():
+    """Real WAVs carry LIST/INFO chunks between fmt and data; the
+    decoder must length-skip them (including the odd-length pad byte)
+    instead of assuming the canonical 44-byte layout."""
+    import struct
+
+    import numpy as np
+
+    from whisky_wine_etl_spark.functions import wav
+
+    s = wav.synth_samples(3, 100)
+    canonical = wav.encode_wav(s, 8000)
+    # splice a 5-byte (odd → padded) LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    foreign = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = canonical[:fmt_end] + foreign + canonical[fmt_end:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + b"WAVE" + spliced[12:]
+    rate, back = wav.decode_wav(spliced)
+    assert rate == 8000
+    assert np.array_equal(back, s)
+
+
+def test_wav_decoder_rejects_non_pcm():
+    import struct
+
+    import pytest
+
+    from whisky_wine_etl_spark.functions import wav
+
+    s = wav.synth_samples(1, 10)
+    payload = bytearray(wav.encode_wav(s, 8000))
+    payload[20:22] = struct.pack("<H", 3)  # format tag 3 = IEEE float
+    with pytest.raises(NotImplementedError, match="only PCM"):
+        wav.decode_wav(bytes(payload))

@@ -277,3 +277,73 @@ def resize_payload(mm: DataFrame, target_w: int = 64, target_h: int = 64) -> Dat
         "payload",
     )
     return flat.mapInPandas(do_resize, schema=out_schema)
+
+
+def synthesize_wav_corpus(docs: DataFrame) -> DataFrame:
+    """Build a REAL audio corpus from `documents`: one valid PCM WAV
+    per doc (mono 16-bit; 800–960 samples and 8/12/16 kHz rate derived
+    from doc_id; closed-form waveform functions/wav.py synth_samples).
+    Arrow-batched mapInPandas, same shape as the image corpora."""
+    out_schema = "doc_id bigint, sample_rate int, n_samples int, payload binary"
+    root = _package_root()
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:  # worker-side path bootstrap (see above)
+            sys.path.insert(0, root)
+        from whisky_wine_etl_spark.functions import wav as codec
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 800 + (d % 5) * 40
+                rate = 8000 + (d % 3) * 4000
+                rows.append((d, rate, n, codec.encode_wav(codec.synth_samples(d, n), rate)))
+            yield pd.DataFrame(rows, columns=["doc_id", "sample_rate", "n_samples", "payload"])
+
+    return docs.select("doc_id").mapInPandas(make, schema=out_schema)
+
+
+def audio_features(mm: DataFrame) -> DataFrame:
+    """Decode WAV payloads and emit integer-exact signal features:
+    (doc_id, sample_rate, n_samples, sum_sq, peak, n_bytes). Energy
+    (sum of squared samples) and peak (max |s|) stay in integer
+    arithmetic end to end, so the SQL oracle reproduces them exactly
+    from the generator's closed form — a header, endianness, or
+    truncation bug in the codec shifts sum_sq off the oracle."""
+    out_schema = (
+        "doc_id bigint, sample_rate int, n_samples int, "
+        "sum_sq bigint, peak int, n_bytes int"
+    )
+    root = _package_root()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        import numpy as np
+
+        from whisky_wine_etl_spark.functions import wav as codec
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = codec.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        len(s),
+                        int((s * s).sum()),
+                        int(np.abs(s).max()) if len(s) else 0,
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sum_sq", "peak", "n_bytes"],
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(extract, schema=out_schema)

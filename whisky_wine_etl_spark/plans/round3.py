@@ -639,3 +639,38 @@ def agg_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "mm_audio_features",
+    """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(800 + (doc_id % 5) * 40 AS INT) AS n,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, d.n, d.rate,
+         ((d.doc_id * 31 + i.i * 7) % 2003) - 1001 AS smp
+  FROM dims d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i(i)
+)
+SELECT doc_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(smp)) AS INT) AS peak,
+       CAST(44 + 2 * n AS INT) AS n_bytes
+FROM s GROUP BY doc_id, rate, n
+""",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end to end: synthesize valid PCM WAVs (mono
+    16-bit, RIFF chunk layout — functions/wav.py), decode them back
+    through the chunk-walking decoder, and emit integer-exact signal
+    features the oracle recomputes from the waveform's closed form.
+    n_bytes pins the canonical 44-byte header + 2 bytes/sample."""
+    from whisky_wine_etl_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.audio_features(mm.synthesize_wav_corpus(docs))
