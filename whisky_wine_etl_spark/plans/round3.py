@@ -674,3 +674,45 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.audio_features(mm.synthesize_wav_corpus(docs))
+
+
+_NTILE_SQL = """
+WITH q AS (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, quartile, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi
+FROM q GROUP BY 1, 2
+"""
+
+
+@query("window_ntile_quartiles", _NTILE_SQL)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) per nation (full tie-break so bucket assignment is
+    deterministic), aggregated to per-quartile count + balance range —
+    pins the ceil-division bucket-size rule both engines implement.
+    One shuffle on nation for the window, partial-agg'd rollup after."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_NTILE_SQL)
+
+
+_PCTL_DISC_SQL = """
+SELECT c_mktsegment,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY c_acctbal) AS p50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal) AS p75
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@query("agg_percentile_disc", _PCTL_DISC_SQL)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distribution percentile_disc (WITHIN GROUP) — picks an
+    ACTUAL value from the group, so cross-engine parity is exact with
+    no rounding grain at all (unlike percentile_cont's interpolation).
+    Same text runs on both engines."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_PCTL_DISC_SQL)
