@@ -716,3 +716,34 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same text runs on both engines."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_PCTL_DISC_SQL)
+
+
+@query(
+    "agg_bitmap_distinct",
+    """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct via bitmap aggregates (Spark 3.5+):
+    per (event_type, day, bucket) partial bitmaps →
+    bitmap_or_agg-merge across days → popcount sum. Going through the
+    DAY grain on purpose: a user active on many days appears in many
+    partial bitmaps and the OR-merge must dedupe them, which is the
+    incremental-rollup property — daily partials re-aggregate to any
+    coarser grain EXACTLY, where HLL (agg_hll_partial_union) only
+    approximates. State is one bitmap per 2^15-id bucket actually
+    touched; the oracle is plain COUNT(DISTINCT)."""
+    e = _t(spark, sf_dir, "events")
+    partials = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("b"))
+    merged = partials.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_or_agg(b)").alias("bm")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
