@@ -747,3 +747,70 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
     )
+
+
+@query(
+    "corpus_perplexity_score",
+    """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i.i] AS w1,
+         array_to_string(toks[i.i:i.i+1], ' ') AS bigram
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i) i(i)
+),
+cbg AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1),
+cw1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+),
+sc AS (
+  SELECT b.doc_id, LN((c.c12 + 1.0) / (w.c1 + v.vocab)) AS lp
+  FROM bg b JOIN cbg c USING (bigram) JOIN cw1 w USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(lp) / COUNT(*), 4) AS avg_nll
+FROM sc GROUP BY doc_id
+""",
+)
+def corpus_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality scoring: every doc's average
+    negative log-likelihood under an add-one-smoothed bigram LM
+    trained on the corpus itself (low avg_nll ≈ fluent/common text;
+    high ≈ noise — the standard quality-filter signal). Three hash
+    aggregations over one bigram explode (corpus bigram counts,
+    per-history counts, vocabulary size) joined back to the doc's
+    bigram stream — counts stay integers across the engine boundary
+    and BOTH engines evaluate the identical LN((c12+1)/(c1+V)) shape,
+    so the only cross-engine float noise is a per-term libm ulp
+    (~1e-16) + summation order (~1e-14), seven orders under the 4-dp
+    rounding grain (the repo's grain rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 1)), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "array_join(slice(toks, i, 2), ' ') AS bigram))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.w1", "e.bigram")
+    cbg = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    cw1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    lp = F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))
+    return (
+        bg.join(cbg, "bigram")
+        .join(cw1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(lp) / F.count(F.lit(1)), 4).alias("avg_nll"),
+        )
+    )
