@@ -814,3 +814,97 @@ def corpus_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(lp) / F.count(F.lit(1)), 4).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "mm_resize_mixed_formats",
+    """
+WITH dims AS (
+  SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(8 + (doc_id * 3) % 7 AS BIGINT) AS h
+  FROM documents
+),
+grid AS (
+  SELECT gx.x AS xt, gy.y AS yt
+  FROM generate_series(0, 9) gx(x), generate_series(0, 9) gy(y)
+),
+px AS (
+  SELECT d.doc_id,
+         (d.doc_id*7  + ((xt*d.w)//10)*3  + ((yt*d.h)//10)*5) % 256
+       + (d.doc_id*11 + ((xt*d.w)//10)*13 + ((yt*d.h)//10))   % 256
+       + (d.doc_id*3  + ((xt*d.w)//10)    + ((yt*d.h)//10)*17) % 256 AS s
+  FROM dims d CROSS JOIN grid
+)
+SELECT doc_id, CAST(10 AS INT) AS width, CAST(10 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 374 ELSE 313 END AS INT) AS n_bytes,
+       CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id
+""",
+)
+def mm_resize_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ROW codec dispatch under a MIXED corpus: even doc_ids carry
+    BMP payloads, odd ones binary PPM, interleaved in ONE table; the
+    resize operator sniffs each payload's magic and re-encodes in the
+    format it decoded. The oracle's pixel grid is format-independent,
+    but n_bytes flips per row (374 padded BMP vs 313 unpadded PPM) —
+    a dispatch bug that routes a row through the wrong codec shifts
+    n_bytes or pixel_sum immediately."""
+    from whisky_wine_etl_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    bmp = mm.synthesize_bmp_corpus(docs.filter(F.col("doc_id") % 2 == 0))
+    ppm = mm.synthesize_ppm_corpus(docs.filter(F.col("doc_id") % 2 != 0))
+    mixed = bmp.unionByName(ppm)
+    return mm.resize_payload_real(mixed).select(
+        "doc_id", "width", "height", "n_bytes", "pixel_sum"
+    )
+
+
+@query(
+    "graph_triangle_count",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e ab
+JOIN e bc ON ab.pb = bc.pa
+JOIN e ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    (parts sharing an order are adjacent): the id-ordered formulation
+    a<b<c counts each triangle exactly once with two hash joins over
+    the edge list — no per-node adjacency materialization. Work is
+    Σ d(v)² on the middle join; for hub-skewed real graphs the classic
+    refinement is degree orientation (point edges low→high degree,
+    bounding the middle join by arboricity) — id order suffices on
+    this corpus and keeps the oracle textually identical."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+        .persist()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = ab.join(bc, F.col("ab.pb") == F.col("bc.pa")).join(
+        ac,
+        (F.col("ac.pa") == F.col("ab.pa")) & (F.col("ac.pb") == F.col("bc.pb")),
+    )
+    n_edges = e.count()
+    return tri.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
