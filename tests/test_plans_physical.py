@@ -319,3 +319,59 @@ def test_q9_supply_snowflake_broadcasts_via_stats_not_hints(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plan2.count("BroadcastHashJoin") == 1  # the hinted nation only
     assert plan2.count("SortMergeJoin") >= 4
+
+
+# ---------------------------------------------------------------------------
+# Round-3 plan posture
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_incremental_pushes_batch_filters_no_hints(spark):
+    """Both the ledger and batch filters must reach the parquet scan
+    (each side reads only its slice), and no side carries a broadcast
+    hint — at 100 TB the ledger outgrows any executor, AQE decides."""
+    df = plans.QUERIES["dedup_incremental"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in opt and "broadcast" not in opt.lower()
+    plan = _formatted(df)
+    # the modulo filters are partial-function pushdowns; the scans must
+    # at least prune to the two used columns
+    reads = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert reads and all("text" in r or "doc_id" in r for r in reads)
+
+
+def test_histogram_broadcasts_only_the_scalar_params(spark):
+    """The 1-row min/max frame is the ONE legitimate broadcast in the
+    histogram; the fact side must not shuffle for the cross join."""
+    df = plans.QUERIES["agg_histogram_value"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_vocab_is_broadcast_scalar(spark):
+    """The vocabulary count (1 row) joins by broadcast; the bigram
+    stream must never shuffle for it."""
+    df = plans.QUERIES["corpus_perplexity_score"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
+def test_bitmap_distinct_has_partial_aggregation(spark):
+    """bitmap_construct_agg must run partial+final (map-side combine)
+    like any algebraic aggregate — the mergeability that makes it the
+    exact rollup currency."""
+    df = plans.QUERIES["agg_bitmap_distinct"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_bitmap_construct_agg" in plan
+    assert "partial_bitmap_or_agg" in plan
+
+
+def test_vocab_topk_partial_agg_before_takeordered(spark):
+    """text_vocab_topk: partial aggregation below the exchange, then
+    TakeOrderedAndProject — never a global sort of the vocabulary."""
+    df = plans.QUERIES["text_vocab_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert plan.count("Sort ") == 0  # no standalone global sort operator
