@@ -193,3 +193,24 @@ def test_star_cc_converges_on_long_chain(spark):
     out = dd.connected_components_star(chain).collect()
     assert len(out) == 401
     assert {r.cluster_id for r in out} == {0}
+
+
+def test_weighted_systematic_picks_proportional_and_exact(spark):
+    """Every row's pick count is within 1 of its exact proportional
+    share k·w/W (systematic sampling's variance bound), totals sum to
+    k, and a row heavier than W/k is ALWAYS picked at least once."""
+    from whisky_wine_etl_spark.operators.sampling import weighted_systematic_sample
+
+    docs = load_table(spark, SF, "documents")
+    k = 50
+    out = weighted_systematic_sample(docs, k=k, weight_col="n_chars").collect()
+    total_w = docs.agg(F.sum("n_chars")).collect()[0][0]
+    weights = {r.doc_id: r.n_chars for r in docs.collect()}
+    picks = {r.doc_id: r.n_picks for r in out}
+    assert sum(picks.values()) == k
+    for doc_id, w in weights.items():
+        share = k * w / total_w
+        got = picks.get(doc_id, 0)
+        assert abs(got - share) < 1.0 + 1e-9
+        if w * k > total_w:
+            assert got >= 1

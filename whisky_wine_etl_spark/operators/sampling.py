@@ -72,3 +72,64 @@ def train_eval_split(df: DataFrame, key: str, eval_pct: int = 10) -> DataFrame:
         "split",
         F.when(hash_bucket(key, 100) < eval_pct, F.lit("eval")).otherwise(F.lit("train")),
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling, integer-exact: lay rows on a
+    cumulative-weight tape in `order_col` order, drop k markers at
+    positions m·W/k (m = 1..k), and pick each row once per marker
+    inside its [start, start+w) span:
+
+        n_picks = floor((start+w)·k / W) − floor(start·k / W)
+
+    Expected picks are exactly proportional to weight; rows heavier
+    than W/k are picked multiple times (the upweighting a mixture
+    builder wants); everything is integer arithmetic so the SQL oracle
+    reproduces the selection bit-for-bit — no pow/log tie hazards of
+    exponential-keys weighted reservoirs.
+
+    The prefix sum uses the same two-pass range-partition pattern as
+    corpus.pack_sequences (range shuffle → per-partition partials →
+    O(partitions) driver offsets → broadcast back): no single-task
+    global window at any scale."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(order_col, F.col(weight_col).cast("bigint").alias("__w"))
+        .repartitionByRange(n_parts, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ranged.groupBy("__pid").agg(F.sum("__w").alias("__t")).orderBy("__pid").collect()
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += r["__t"]
+    total_w = acc
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum("__w").over(w) - F.col("__w") + F.col("__off")).cast("long")
+    picks = F.expr(f"((__start + __w) * {k}) div {total_w}") - F.expr(
+        f"(__start * {k}) div {total_w}"
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("__start", start)
+        .withColumn("n_picks", picks.cast("bigint"))
+        .filter(F.col("n_picks") > 0)
+        .select(order_col, F.col("__w").alias(weight_col), "n_picks")
+    )

@@ -908,3 +908,33 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"),
     )
+
+
+@query(
+    "sample_weighted_systematic",
+    """
+WITH c AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS s
+  FROM documents
+),
+tot AS (SELECT SUM(CAST(n_chars AS BIGINT)) AS w FROM documents)
+SELECT doc_id, n_chars,
+       CAST(((s + n_chars) * 50) // w - (s * 50) // w AS BIGINT) AS n_picks
+FROM c CROSS JOIN tot
+WHERE ((s + n_chars) * 50) // w - (s * 50) // w > 0
+""",
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling of 50 docs by n_chars — marker
+    positions on the cumulative-weight tape, integer-exact selection
+    (operators/sampling.py weighted_systematic_sample), distributed
+    via the two-pass range-partition prefix sum rather than a
+    single-task global window. The oracle's plain window cumsum is
+    the semantic spec the two-pass plan must reproduce exactly."""
+    from whisky_wine_etl_spark.operators.sampling import weighted_systematic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_systematic_sample(docs, k=50, weight_col="n_chars")
