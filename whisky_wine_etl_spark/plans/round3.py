@@ -938,3 +938,57 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return weighted_systematic_sample(docs, k=50, weight_col="n_chars")
+
+
+@query(
+    "etl_cdc_latest_state",
+    """
+WITH log AS (
+  SELECT user_id AS k, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error'  THEN 'D'
+              ELSE 'U' END AS op,
+         value AS v
+  FROM events
+),
+ranked AS (
+  SELECT k, op, v,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT k AS user_id, op AS last_op, ROUND(v, 4) AS final_value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+)
+def etl_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → latest-state materialization (the Debezium-style
+    CDC apply): events become an I/U/D op log per key, the newest op
+    wins (full tie-break on event_id), and keys whose final op is a
+    DELETE drop out of the snapshot. One ranked window per key — at
+    scale this is the standard log-compaction shape: shuffle once on
+    the key, no global ordering."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select(
+            F.col("user_id"),
+            "ts",
+            "event_id",
+            op.alias("op"),
+            F.col("value").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.round("v", 4).alias("final_value"),
+        )
+    )
