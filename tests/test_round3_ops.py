@@ -214,3 +214,36 @@ def test_weighted_systematic_picks_proportional_and_exact(spark):
         assert abs(got - share) < 1.0 + 1e-9
         if w * k > total_w:
             assert got >= 1
+
+
+def test_snapshot_isolation_and_orphan_invisibility(spark, tmp_path):
+    """Old versions stay readable after an overwrite (copy-on-write);
+    data files never referenced by a manifest are not part of any
+    version; the latest pointer advances atomically."""
+    import os
+
+    from pyspark.sql import Row
+
+    from whisky_wine_etl_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    df1 = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)])
+    df2 = spark.createDataFrame([Row(k=10)])
+
+    assert snap.current_version(table) is None
+    v1 = snap.write_snapshot(df1, table, mode="append")
+    v2 = snap.write_snapshot(df2, table, mode="overwrite")
+    v3 = snap.write_snapshot(df2, table, mode="append")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert snap.current_version(table) == 3
+
+    # orphan parquet dropped into the data area: referenced by nothing
+    orphan_dir = os.path.join(table, "data", "orphan")
+    spark.createDataFrame([Row(k=999)]).write.parquet(orphan_dir)
+
+    read = lambda v: sorted(r.k for r in snap.read_snapshot(spark, table, v).collect())
+    assert read(1) == [1, 2, 3]          # still intact after overwrite
+    assert read(2) == [10]               # overwrite started fresh
+    assert read(3) == [10, 10]           # append on v2's lineage
+    assert read(None) == [10, 10]        # latest pointer → v3
+    assert all(999 not in read(v) for v in (1, 2, 3))

@@ -992,3 +992,45 @@ def etl_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("v", 4).alias("final_value"),
         )
     )
+
+
+@query(
+    "table_time_travel",
+    """
+SELECT CAST(1 AS INT) AS version, doc_id, lang FROM documents
+UNION ALL
+SELECT CAST(2 AS INT) AS version, doc_id, lang FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT CAST(3 AS INT) AS version, doc_id, lang FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT CAST(3 AS INT) AS version, doc_id, lang FROM documents
+""",
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning / time travel (sources/snapshots.py): v1 =
+    full documents; v2 = copy-on-write OVERWRITE down to lang='en'
+    (v1's files stay on disk, referenced by v1's manifest); v3 =
+    APPEND of the full table on top of v2's lineage, so its logical
+    content is the English slice PLUS a full copy. Every version is
+    then read back BY VERSION and unioned under a version tag; the
+    oracle recomputes each version's logical content. A lineage bug —
+    overwrite inheriting parent files, append dropping them, reads
+    leaking across versions, the pointer not advancing — breaks the
+    hash. Manifests are immutable once written, so a rerun within one
+    session reads the same three versions unchanged."""
+    from whisky_wine_etl_spark.sources import snapshots as snap
+
+    table = _scratch_dir(spark, sf_dir, "ttl_table")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en")
+    if snap.current_version(table) is None:
+        snap.write_snapshot(docs, table, mode="append")    # v1: full
+        snap.write_snapshot(en, table, mode="overwrite")   # v2: en only
+        snap.write_snapshot(docs, table, mode="append")    # v3: en + full
+    out = None
+    for v in (1, 2, 3):
+        part = snap.read_snapshot(spark, table, version=v).select(
+            F.lit(v).cast("int").alias("version"), "doc_id", "lang"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
