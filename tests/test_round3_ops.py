@@ -247,3 +247,27 @@ def test_snapshot_isolation_and_orphan_invisibility(spark, tmp_path):
     assert read(3) == [10, 10]           # append on v2's lineage
     assert read(None) == [10, 10]        # latest pointer → v3
     assert all(999 not in read(v) for v in (1, 2, 3))
+
+
+def test_snapshot_vacuum_keeps_referenced_files_only(spark, tmp_path):
+    """Vacuum deletes expired manifests and unreferenced data files;
+    kept versions stay byte-identical readable."""
+    from pyspark.sql import Row
+
+    from whisky_wine_etl_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    snap.write_snapshot(spark.createDataFrame([Row(k=1), Row(k=2)]), table)      # v1
+    snap.write_snapshot(spark.createDataFrame([Row(k=3)]), table, "overwrite")   # v2
+    snap.write_snapshot(spark.createDataFrame([Row(k=4)]), table, "append")      # v3
+
+    stats = snap.vacuum(table, keep_last=2)
+    assert stats["deleted_manifests"] == 1  # v1 manifest gone
+    assert stats["deleted_files"] >= 1      # v1's unreferenced parquet gone
+    # v2 files are shared into v3's lineage → must survive
+    assert sorted(r.k for r in snap.read_snapshot(spark, table, 2).collect()) == [3]
+    assert sorted(r.k for r in snap.read_snapshot(spark, table, 3).collect()) == [3, 4]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, table, 1)

@@ -1034,3 +1034,51 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@query(
+    "table_merge_publish",
+    """
+WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+upd AS (
+  SELECT doc_id, source, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+ins AS (
+  SELECT doc_id + 1000000 AS doc_id, source, n_chars
+  FROM documents WHERE doc_id % 100 = 0
+),
+chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+       COALESCE(c.source, b.source) AS source,
+       COALESCE(c.n_chars, b.n_chars) AS n_chars
+FROM base b FULL JOIN chg c ON b.doc_id = c.doc_id
+""",
+)
+def table_merge_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full warehouse write loop on the snapshot table format:
+    read the LATEST version, MERGE a change batch into it (updates
+    bump n_chars for doc_id%10 keys, inserts add doc_id+1e6 rows —
+    operators/merge.py upsert, one full-outer join), and PUBLISH the
+    result as a new overwrite snapshot; the returned frame is the new
+    version read back BY VERSION. The oracle recomputes the merge
+    relationally, so a bug in the merge, the snapshot write, or the
+    versioned read breaks the hash. Reruns in one session read the
+    already-published version (manifests immutable)."""
+    from whisky_wine_etl_spark.operators.merge import upsert
+    from whisky_wine_etl_spark.sources import snapshots as snap
+
+    table = _scratch_dir(spark, sf_dir, "merge_table")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    if snap.current_version(table) is None:
+        snap.write_snapshot(docs, table, mode="append")  # v1: base
+        base = snap.read_snapshot(spark, table, version=1)
+        upd = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        )
+        ins = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        merged = upsert(base, upd.unionByName(ins), keys=["doc_id"])
+        snap.write_snapshot(merged, table, mode="overwrite")  # v2: published
+    return snap.read_snapshot(spark, table, version=2)

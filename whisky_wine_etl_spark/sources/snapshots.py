@@ -96,3 +96,43 @@ def read_snapshot(
     with open(_manifest_path(table_path, v)) as f:
         files = json.load(f)["files"]
     return spark.read.parquet(*files)
+
+
+def vacuum(table_path: str, keep_last: int = 1) -> dict:
+    """Retention maintenance: keep the newest `keep_last` versions,
+    delete older manifests and every data file no kept version
+    references. Runs strictly AFTER readers of expired versions are
+    gone (retention window), like any table format's vacuum. Returns
+    counts for observability — a maintenance job that reports nothing
+    cannot be audited."""
+    latest = current_version(table_path)
+    if latest is None:
+        return {"kept_versions": 0, "deleted_manifests": 0, "deleted_files": 0}
+    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    referenced: set[str] = set()
+    for v in keep:
+        with open(_manifest_path(table_path, v)) as f:
+            referenced.update(json.load(f)["files"])
+
+    deleted_manifests = 0
+    for name in os.listdir(_snap_dir(table_path)):
+        if not name.startswith("v") or not name.endswith(".json"):
+            continue
+        v = int(name[1:-5])
+        if v not in keep:
+            os.remove(os.path.join(_snap_dir(table_path), name))
+            deleted_manifests += 1
+
+    deleted_files = 0
+    data_root = os.path.join(table_path, "data")
+    for root, _dirs, files in os.walk(data_root):
+        for fname in files:
+            path = os.path.join(root, fname)
+            if fname.endswith(".parquet") and path not in referenced:
+                os.remove(path)
+                deleted_files += 1
+    return {
+        "kept_versions": len(keep),
+        "deleted_manifests": deleted_manifests,
+        "deleted_files": deleted_files,
+    }
