@@ -1,5 +1,15 @@
-"""Round-3 registrations: skew-safe fact-fact join variant + second
-real multimodal codec (binary PPM).
+"""Round-3 registrations (in registration order): skew-safe salted q8
+variant; second real image codec (binary PPM); incremental/ledger
+dedup; containment near-dup; corpus vocabulary; compaction + ORC
+round-trips; the custom Python Data Source (batch + streaming +
+manifest-committed sink); Spark-4 SQL surfaces (LATERAL top-n,
+recursive CTE, SQL UDF); zero-copy mapInArrow; cohort retention and a
+one-pass profiler; large-star/small-star connected components; native
+batch session_window; equi-width histogram; ntile + percentile_disc;
+exact-mergeable bitmap distinct; perplexity quality scoring;
+mixed-format codec dispatch; triangle counting; weighted systematic
+sampling; real PCM WAV audio features; CDC latest-state; snapshot
+time travel and the merge-publish loop.
 
 Registered LAST in plans.load_all() so these sort behind every
 previously-registered query still awaiting a driver CORRECTNESS row —
