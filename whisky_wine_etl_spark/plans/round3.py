@@ -1092,3 +1092,73 @@ def table_merge_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = upsert(base, upd.unionByName(ins), keys=["doc_id"])
         snap.write_snapshot(merged, table, mode="overwrite")  # v2: published
     return snap.read_snapshot(spark, table, version=2)
+
+
+@query(
+    "contract_check_orders",
+    """
+SELECT 'totalprice_nonneg' AS rule,
+       CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orderdate_in_range',
+       CAST(SUM(CASE WHEN o_orderdate IS NULL
+                       OR o_orderdate <  TIMESTAMP '1992-01-01'
+                       OR o_orderdate >= TIMESTAMP '2000-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'priority_in_domain',
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                       ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_fk',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+""",
+)
+def contract_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract check in the engine's validation
+    style (non-fatal, reporting — the reference's pandera posture,
+    SURVEY §2 V-1): three row-local rules evaluate in ONE aggregate
+    pass over one scan (conditional sums, unpivoted via stack), and
+    the referential rule is a left-anti count against customer —
+    the four-scan UNION ALL oracle is the semantic spec. At 100 TB
+    the row-local pass stays one scan regardless of rule count; each
+    FK rule is one anti-join on its key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    viol = [
+        ("totalprice_nonneg", F.col("o_totalprice") < 0),
+        (
+            "orderdate_in_range",
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")),
+        ),
+        (
+            "priority_in_domain",
+            ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        ),
+    ]
+    one = o.agg(
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(f"v{i}")
+            for i, (_n, pred) in enumerate(viol)
+        ]
+    )
+    stack_args = ", ".join(f"'{name}', v{i}" for i, (name, _p) in enumerate(viol))
+    local = one.selectExpr(
+        f"stack({len(viol)}, {stack_args}) AS (rule, n_violations)"
+    )
+    fk = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("custkey_fk").alias("rule"), "n_violations")
+    )
+    return local.unionByName(fk)
