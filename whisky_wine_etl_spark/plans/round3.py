@@ -1162,3 +1162,120 @@ def contract_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("custkey_fk").alias("rule"), "n_violations")
     )
     return local.unionByName(fk)
+
+
+_RATIO_SQL = """
+WITH rev AS (
+  SELECT n.n_name,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS nation_rev
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, nation_rev,
+       ROUND(nation_rev / SUM(nation_rev) OVER (), 6) AS rev_share
+FROM rev
+"""
+
+
+@query("window_ratio_to_report", _RATIO_SQL)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's revenue share
+    of the corpus total via an empty-frame window over the AGGREGATED
+    frame — the window runs over 25 rows, never the fact table, so
+    the full-table pass stays one partial-agg'd groupBy. Share divides
+    the already-2dp-rounded aggregates (quantized inputs → identical
+    quotients), then rounds at 6dp."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RATIO_SQL)
+
+
+@query(
+    "graph_pagerank_copurchase",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e1 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes),
+c1 AS (SELECT e.dst AS node, SUM(r0.r / deg.d) AS c
+       FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.node = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node, 0.15 / (SELECT cnt FROM nn) + 0.85 * COALESCE(c1.c, 0) AS r
+       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+c2 AS (SELECT e.dst AS node, SUM(r1.r / deg.d) AS c
+       FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.node = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node, 0.15 / (SELECT cnt FROM nn) + 0.85 * COALESCE(c2.c, 0) AS r
+       FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+c3 AS (SELECT e.dst AS node, SUM(r2.r / deg.d) AS c
+       FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.node = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node, 0.15 / (SELECT cnt FROM nn) + 0.85 * COALESCE(c3.c, 0) AS r
+       FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+SELECT node AS l_partkey, ROUND(r * 1000, 6) AS pagerank_x1000 FROM r3
+""",
+)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the part
+    co-purchase graph — the canonical iterative join+aggregate
+    workload next to connected components: each round is one shuffle
+    join edges⋈ranks and one groupBy on the destination, with
+    localCheckpoint cutting plan growth per round (the same
+    lineage discipline as the CC operators). Every node keeps degree
+    ≥ 1 by construction (edge endpoints), so there is no dangling-
+    mass term; fixed iteration count makes the computation a pure
+    function both engines evaluate with ~1e-14 float-order noise,
+    eight orders under the 6-dp grain on ×1000-scaled ranks."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e1 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = (
+        e1.unionAll(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    contrib_src = edges.join(
+        deg.withColumnRenamed("node", "src"), "src"
+    )  # (src, dst, d) — degree attached once, reused every round
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(3):
+        contrib = (
+            contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("l_partkey"),
+        F.round(F.col("r") * 1000, 6).alias("pagerank_x1000"),
+    )
