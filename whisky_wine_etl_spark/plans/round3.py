@@ -1279,3 +1279,92 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("l_partkey"),
         F.round(F.col("r") * 1000, 6).alias("pagerank_x1000"),
     )
+
+
+@query(
+    "join_asof_nearest_event",
+    """
+WITH b AS (
+  SELECT o.o_orderkey, MAX(e.ts) AS bts
+  FROM orders o LEFT JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+  GROUP BY o.o_orderkey
+),
+f AS (
+  SELECT o.o_orderkey, MIN(e.ts) AS fts
+  FROM orders o LEFT JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+  GROUP BY o.o_orderkey
+),
+g AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(floor(epoch(o.o_orderdate)) - floor(epoch(b.bts)) AS BIGINT) AS bgap,
+         CAST(floor(epoch(f.fts)) - floor(epoch(o.o_orderdate)) AS BIGINT) AS fgap
+  FROM orders o
+  JOIN b ON b.o_orderkey = o.o_orderkey
+  JOIN f ON f.o_orderkey = o.o_orderkey
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN bgap IS NULL AND fgap IS NULL THEN NULL
+            WHEN fgap IS NULL THEN bgap
+            WHEN bgap IS NULL THEN fgap
+            ELSE LEAST(bgap, fgap) END AS nearest_gap_sec,
+       CASE WHEN bgap IS NULL AND fgap IS NULL THEN NULL
+            WHEN fgap IS NULL THEN 'B'
+            WHEN bgap IS NULL THEN 'F'
+            WHEN bgap <= fgap THEN 'B' ELSE 'F' END AS side
+FROM g
+""",
+)
+def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join composed from the existing operator: one
+    backward and one forward asof_join (operators/asof.py — each a
+    single keyed-window pass, no range explosion), then pick the
+    closer side per row, ties to backward (pandas merge_asof
+    'nearest' convention). The oracle is the naive range-join spec —
+    O(orders × events-per-user) — which the engine-side window
+    formulation must match while staying one shuffle per direction."""
+    from whisky_wine_etl_spark.operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("ts").alias("ets")
+    )
+    back = asof_join(
+        o, ev, on="o_orderdate", by_left="o_custkey", by_right="user_id",
+        right_time="ts", value_cols=["ets"], direction="backward",
+    ).select("o_orderkey", "o_custkey", "o_orderdate", F.col("ets").alias("bts"))
+    fwd = asof_join(
+        o, ev, on="o_orderdate", by_left="o_custkey", by_right="user_id",
+        right_time="ts", value_cols=["ets"], direction="forward",
+    ).select("o_orderkey", F.col("ets").alias("fts"))
+    g = back.join(fwd, "o_orderkey").select(
+        "o_orderkey",
+        "o_custkey",
+        # NTZ has no direct long cast; hop through session-tz timestamp
+        # (UTC session ⇒ identical epoch), then truncate to seconds
+        (
+            F.col("o_orderdate").cast("timestamp").cast("long")
+            - F.col("bts").cast("timestamp").cast("long")
+        ).alias("bgap"),
+        (
+            F.col("fts").cast("timestamp").cast("long")
+            - F.col("o_orderdate").cast("timestamp").cast("long")
+        ).alias("fgap"),
+    )
+    both_null = F.col("bgap").isNull() & F.col("fgap").isNull()
+    return g.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(F.col("fgap").isNull(), F.col("bgap"))
+        .when(F.col("bgap").isNull(), F.col("fgap"))
+        .otherwise(F.least("bgap", "fgap"))
+        .alias("nearest_gap_sec"),
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(F.col("fgap").isNull(), F.lit("B"))
+        .when(F.col("bgap").isNull(), F.lit("F"))
+        .when(F.col("bgap") <= F.col("fgap"), F.lit("B"))
+        .otherwise(F.lit("F"))
+        .alias("side"),
+    )
