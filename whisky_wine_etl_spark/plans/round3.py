@@ -1368,3 +1368,39 @@ def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("F"))
         .alias("side"),
     )
+
+
+@query(
+    "stream_latest_per_key",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, ROUND(value, 4) AS last_value
+FROM ranked WHERE rn = 1
+""",
+)
+def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-state-per-key (the CDC/compaction shape in
+    complete output mode): max_by over a (ts, event_id) ordering
+    struct keeps one row of state per key in the store, updated per
+    micro-batch — the streaming twin of etl_cdc_latest_state's ranked
+    window, verified against the same batch oracle."""
+    from whisky_wine_etl_spark.streaming import pipelines as sp
+
+    ev = sp.events_stream(spark, sf_dir)
+    latest = ev.groupBy("user_id").agg(
+        F.expr(
+            "max_by(named_struct('event_type', event_type, 'value', value),"
+            " named_struct('ts', ts, 'event_id', event_id))"
+        ).alias("m")
+    )
+    out = latest.select(
+        "user_id",
+        F.col("m.event_type").alias("last_event_type"),
+        F.round("m.value", 4).alias("last_value"),
+    )
+    return sp.run_to_memory(spark, out, "complete")
