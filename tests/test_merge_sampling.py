@@ -241,6 +241,31 @@ def test_upsert_strict_mode_rejects_null_update(spark):
     assert got == [(1, "a"), (2, "B"), (3, "c")]
 
 
+def test_upsert_strict_mode_catches_null_composite_key_match(spark):
+    """A row matched THROUGH a NULL key component (eqNullSafe join)
+    must still trip the strict guard: matched-ness comes from the
+    presence flags, not key nullness — inferring it from keys[0]
+    being non-null would silently skip the reject_null_updates check
+    exactly when the first key is NULL."""
+    import pytest
+
+    target = spark.createDataFrame(
+        [(None, "x", "a"), (1, "y", "b")], "k1 int, k2 string, name string"
+    )
+    # source matches the (NULL, 'x') key and nulls its value column
+    source = spark.createDataFrame(
+        [(None, "x", None)], "k1 int, k2 string, name string"
+    )
+    with pytest.raises(Exception, match="strict mode"):
+        mg.upsert(target, source, ["k1", "k2"], reject_null_updates=True).collect()
+    # and the non-strict path still merges the NULL-keyed row as a match
+    upd = spark.createDataFrame(
+        [(None, "x", "A")], "k1 int, k2 string, name string"
+    )
+    got = _rows(mg.upsert(target, upd, ["k1", "k2"]), "k2")
+    assert got == [(None, "x", "A"), (1, "y", "b")]
+
+
 def test_connected_components_raises_when_not_converged(spark):
     """ADVICE fix: iteration-capped exit must raise, not return split
     clusters silently."""

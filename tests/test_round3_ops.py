@@ -216,6 +216,26 @@ def test_weighted_systematic_picks_proportional_and_exact(spark):
             assert got >= 1
 
 
+def test_weighted_systematic_rejects_degenerate_weights(spark):
+    """Empty input / all-zero weights would interpolate `div 0` into
+    the pick expression (silently-empty under default mode, error
+    under ANSI); negative weights would corrupt the cumulative tape.
+    All three must fail loudly instead."""
+    import pytest
+
+    from whisky_wine_etl_spark.operators.sampling import weighted_systematic_sample
+
+    empty = spark.createDataFrame([], "doc_id long, w long")
+    with pytest.raises(ValueError, match="total weight"):
+        weighted_systematic_sample(empty, k=5, weight_col="w")
+    zeros = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="total weight"):
+        weighted_systematic_sample(zeros, k=5, weight_col="w")
+    neg = spark.createDataFrame([(1, 10), (2, -3)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="negative weight"):
+        weighted_systematic_sample(neg, k=5, weight_col="w")
+
+
 def test_snapshot_isolation_and_orphan_invisibility(spark, tmp_path):
     """Old versions stay readable after an overwrite (copy-on-write);
     data files never referenced by a manifest are not part of any

@@ -267,3 +267,82 @@ def test_tws_matches_applyinpandaswithstate(spark):
     a = sp.run_to_memory(spark, running_anomalies(sp.events_stream(spark, sf)), "append")
     b = sp.run_to_memory(spark, running_anomalies_tws(sp.events_stream(spark, sf)), "append")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_events_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The footer-probe memo must be keyed on the file's stat, not its
+    path: the test driver regenerates events.parquet (sometimes with a
+    different ts physical type) between rounds, and a stale cached
+    schema would null or reject the ts column on the new file."""
+    import os
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    path = str(d / "events.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", path)
+    first = sp._events_raw_schema(spark, str(d))
+    assert "ts" in first.fieldNames()
+    # regenerate with a deliberately different schema (ts as long)
+    spark.createDataFrame(
+        [(1, 1_700_000_000_000_000_000, 1, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "_tmp"))
+    part = next(p for p in os.listdir(str(d / "_tmp")) if p.endswith(".parquet"))
+    shutil.copy(str(d / "_tmp" / part), path)
+    second = sp._events_raw_schema(spark, str(d))
+    assert second["ts"].dataType.simpleString() == "bigint"
+
+
+def test_latest_per_key_update_mode_across_batches(spark, tmp_path):
+    """Update-mode latest-state-per-key: each micro-batch emits only
+    touched keys (not the full state table — the scale contract that
+    rules out complete mode), and the sink-side keyed max_by
+    compaction recovers exactly the batch ranked-window answer even
+    when a key's rows span several batches out of final order within
+    the key."""
+    land = tmp_path / "landlpk"
+    land.mkdir()
+    b1 = [(1, _ts(0), 1, "click", 1.0), (2, _ts(1), 2, "view", 2.0)]
+    b2 = [(3, _ts(10), 1, "buy", 3.0)]  # user 1 updated, user 2 untouched
+    b3 = [(4, _ts(20), 3, "click", 4.0), (5, _ts(21), 1, "view", 5.0)]
+    for chunk in (b1, b2, b3):
+        _write_batch(spark, land, chunk, "x")
+
+    stream = sp.file_events_stream(spark, str(land), max_files_per_trigger=1)
+    latest = stream.groupBy("user_id").agg(
+        F.expr(
+            "max_by(named_struct('event_type', event_type, 'value', value,"
+            " 'ts', ts, 'event_id', event_id),"
+            " named_struct('ts', ts, 'event_id', event_id))"
+        ).alias("m")
+    )
+    out = latest.select(
+        "user_id",
+        F.col("m.event_type").alias("last_event_type"),
+        F.round("m.value", 4).alias("last_value"),
+        F.col("m.ts").alias("__ord_ts"),
+        F.col("m.event_id").alias("__ord_event_id"),
+    )
+    log = sp.run_to_memory(spark, out, "update").cache()
+    per_user = {r.user_id: r.cnt for r in log.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()}
+    # user 1 touched in 3 batches → 3 update rows; user 2 only in batch 1
+    assert per_user[1] == 3
+    assert per_user[2] == 1
+    assert per_user[3] == 1
+    compact = (
+        log.groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('let', last_event_type, 'lv', last_value),"
+                " named_struct('ts', __ord_ts, 'event_id', __ord_event_id))"
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.let").alias("last_event_type"),
+            F.col("m.lv").alias("last_value"),
+        )
+    )
+    got = {(r.user_id, r.last_event_type, r.last_value) for r in compact.collect()}
+    assert got == {(1, "view", 5.0), (2, "view", 2.0), (3, "click", 4.0)}

@@ -109,13 +109,26 @@ def weighted_systematic_sample(
         .localCheckpoint(eager=True)
     )
     totals = (
-        ranged.groupBy("__pid").agg(F.sum("__w").alias("__t")).orderBy("__pid").collect()
+        ranged.groupBy("__pid")
+        .agg(F.sum("__w").alias("__t"), F.min("__w").alias("__mn"))
+        .orderBy("__pid")
+        .collect()
     )
     offsets, acc = [], 0
     for r in totals:
+        if r["__mn"] is not None and r["__mn"] < 0:
+            raise ValueError(
+                "weighted_systematic_sample: negative weight "
+                f"{r['__mn']} — weights must be non-negative"
+            )
         offsets.append((r["__pid"], acc))
-        acc += r["__t"]
+        acc += r["__t"] or 0
     total_w = acc
+    if total_w <= 0:
+        raise ValueError(
+            "weighted_systematic_sample: total weight must be positive, got "
+            f"{total_w} (empty input or all-zero weights)"
+        )
     off_df = spark.createDataFrame(offsets, "__pid int, __off long")
     w = (
         W.partitionBy("__pid")

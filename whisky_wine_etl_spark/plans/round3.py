@@ -137,7 +137,7 @@ inc AS (
 )
 SELECT text_md5, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
 FROM inc
-WHERE text_md5 NOT IN (SELECT text_md5 FROM seen)
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.text_md5 = inc.text_md5)
 GROUP BY text_md5
 """,
 )
@@ -573,8 +573,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH o AS (
   SELECT user_id, ts,
-         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS is_start
   FROM events
@@ -598,8 +597,11 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session_window(ts, 30 min), user_id) — the engine merges
     overlapping per-row windows into gap-separated sessions inside the
     aggregate, no window-function passes. The oracle derives the same
-    sessions with the classic gaps-and-islands SQL; start timestamps
-    and event counts must agree exactly. (The window's END differs by
+    sessions with the classic gaps-and-islands SQL using the EXACT
+    session_window split rule — a new session starts when the
+    unfloored gap is >= 30 min, compared in integer microseconds
+    (epoch_us) so a [1800s, 1801s) gap can't make the engines
+    disagree; start timestamps and event counts must agree exactly. (The window's END differs by
     definition — Spark pads the last event by the gap — so the
     comparison pins start + membership, the definition-independent
     parts.)"""
@@ -1384,17 +1386,26 @@ FROM ranked WHERE rn = 1
 """,
 )
 def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming latest-state-per-key (the CDC/compaction shape in
-    complete output mode): max_by over a (ts, event_id) ordering
-    struct keeps one row of state per key in the store, updated per
-    micro-batch — the streaming twin of etl_cdc_latest_state's ranked
-    window, verified against the same batch oracle."""
+    """Streaming latest-state-per-key (the CDC/compaction shape) in
+    UPDATE output mode: max_by over a (ts, event_id) ordering struct
+    keeps ONE small struct of state per key in the store, and each
+    micro-batch emits only the keys that batch touched — per-batch
+    output is ∝ changed keys, never the full state table (complete
+    mode would re-emit every key every batch: a per-batch full-state
+    rewrite at 100 TB of keys). The emitted rows carry the ordering
+    struct so the sink side can upsert idempotently; here the memory
+    sink accumulates the update log and a keyed max_by compacts it —
+    exactly the KV-store/Delta-MERGE upsert the update stream feeds in
+    production (O(emitted rows), no global state rewrite). Streaming
+    twin of etl_cdc_latest_state's ranked window, verified against the
+    same batch oracle."""
     from whisky_wine_etl_spark.streaming import pipelines as sp
 
     ev = sp.events_stream(spark, sf_dir)
     latest = ev.groupBy("user_id").agg(
         F.expr(
-            "max_by(named_struct('event_type', event_type, 'value', value),"
+            "max_by(named_struct('event_type', event_type, 'value', value,"
+            " 'ts', ts, 'event_id', event_id),"
             " named_struct('ts', ts, 'event_id', event_id))"
         ).alias("m")
     )
@@ -1402,5 +1413,23 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("m.event_type").alias("last_event_type"),
         F.round("m.value", 4).alias("last_value"),
+        F.col("m.ts").alias("__ord_ts"),
+        F.col("m.event_id").alias("__ord_event_id"),
     )
-    return sp.run_to_memory(spark, out, "complete")
+    log = sp.run_to_memory(spark, out, "update")
+    # sink-side upsert: later batches win per key (ordering struct is
+    # monotone per key across batches, so max_by over it = last write)
+    return (
+        log.groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('let', last_event_type, 'lv', last_value),"
+                " named_struct('ts', __ord_ts, 'event_id', __ord_event_id))"
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.let").alias("last_event_type"),
+            F.col("m.lv").alias("last_value"),
+        )
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 _sink_counter = itertools.count()
 
 
-_events_schema_cache: dict[str, object] = {}
+_events_schema_cache: dict[tuple, object] = {}
 
 
 def _events_raw_schema(spark: SparkSession, sf_dir: str):
@@ -44,21 +44,26 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str):
     `ts` has shipped as both int64 nanos and µs TIMESTAMP_NTZ across
     driver rounds, and a file stream's fixed schema must match the
     file's physical type or the scan nulls/rejects the column.
-    Memoized per path: the testdata files are immutable within a run,
-    and the probe otherwise re-reads the footer on every stream
-    definition (measurable in the bench's streaming query)."""
+    Memoized per (path, mtime, size) so the probe isn't re-run on
+    every stream definition (measurable in the bench's streaming
+    query) but a REGENERATED file — the test driver rewrites the
+    parquet, possibly with a different ts physical type, between
+    rounds — invalidates the entry instead of serving a stale schema
+    that would null or reject the ts column."""
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
-    if path in _events_schema_cache:
-        return _events_schema_cache[path]
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key in _events_schema_cache:
+        return _events_schema_cache[key]
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         schema = spark.read.parquet(path).schema
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    _events_schema_cache[path] = schema
+    _events_schema_cache[key] = schema
     return schema
 
 
