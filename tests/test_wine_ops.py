@@ -64,3 +64,28 @@ def test_try_cast_junk_to_null(spark):
     df = _df(spark, [("88",), ("N/A",), ("",), (None,), ("91.5",)], "points string")
     out = [r.points for r in wops.clean_points(df).collect()]
     assert out == [88.0, None, None, None, 91.5]
+
+
+def test_failure_cases_rows_match_report_counts(spark):
+    """The per-row failure frame must reconcile exactly with the
+    aggregate report: per-check row counts equal the counters, and
+    every row carries the offending value (NULL only for nullability
+    checks)."""
+    from pyspark.sql import functions as F
+
+    from whisky_wine_etl_spark.operators.validate import failure_cases, validation_report
+    from whisky_wine_etl_spark.plans.wine import wine_input
+
+    sf = "/root/testdata/sf0.001"
+    transformed = wops.wine_transform(wine_input(spark, sf))
+    report = validation_report(transformed).collect()[0].asDict()
+    fc = failure_cases(transformed)
+    by_check = {r.check_name: r.cnt for r in
+                fc.groupBy("check_name").count().withColumnRenamed("count", "cnt").collect()}
+    for name, n in report.items():
+        assert by_check.get(name, 0) == n, name
+    # null failure_case only on *_null checks
+    bad = fc.filter(
+        F.col("failure_case").isNull() & ~F.col("check_name").endswith("_null")
+    ).count()
+    assert bad == 0

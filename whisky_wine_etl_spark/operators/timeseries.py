@@ -78,3 +78,71 @@ def resample_ffill(
         )
         .withColumnRenamed("__ffill", "value_ffill")
     )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    step_sec: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Regularize onto a fixed grid with LINEAR interpolation between
+    observations — the gap-fill a charting/feature pipeline wants when
+    carrying the last value forward (resample_ffill) would bias flat.
+
+    Knots: per (key, bucket) the last observed value (max-by epoch
+    second then `order_col`, same deterministic tie-break as
+    resample_ffill), positioned AT the bucket timestamp. Grid buckets
+    between two knots get pv + (nv - pv) * (t - pt) / (nt - pt); at a
+    knot the knot value itself; before the first / after the last knot
+    NULL (interpolation never extrapolates).
+
+    Shape: identical to resample_ffill — one (key, bucket) groupBy,
+    a sequence+explode grid, one left join, then TWO passes over the
+    same (key, bucket-ordered) window partition (last-non-null looking
+    back, first-non-null looking forward): one shuffle total, window
+    sized by time span not traffic."""
+    sec = F.col(ts_col).cast("long")
+    bucket = (sec - (sec % step_sec)).alias("bucket_ts")
+    knots = (
+        events.select(key_col, bucket, F.col(value_col), sec.alias("__sec"), order_col)
+        .groupBy(key_col, "bucket_ts")
+        .agg(F.max_by(value_col, F.struct("__sec", order_col)).alias("__kv"))
+    )
+    grid = (
+        events.select(key_col, bucket)
+        .groupBy(key_col)
+        .agg(F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__mn", "__mx", F.lit(step_sec).cast("long"))
+            ).alias("bucket_ts"),
+        )
+    )
+    back = (
+        W.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    joined = grid.join(knots, [key_col, "bucket_ts"], "left")
+    kt = F.when(F.col("__kv").isNotNull(), F.col("bucket_ts"))
+    pv = F.last("__kv", ignorenulls=True).over(back)
+    pt = F.last(kt, ignorenulls=True).over(back)
+    nv = F.first("__kv", ignorenulls=True).over(fwd)
+    nt = F.first(kt, ignorenulls=True).over(fwd)
+    interp = F.when(pt == nt, pv).otherwise(
+        pv + (nv - pv) * (F.col("bucket_ts") - pt) / (nt - pt)
+    )
+    return joined.select(
+        key_col,
+        "bucket_ts",
+        interp.alias("value_interp"),
+    )

@@ -28,28 +28,10 @@ def _viol(cond) -> F.Column:
 def validation_checks() -> list[tuple[str, F.Column]]:
     """(name, aggregate-Column) pairs — consumable by .agg() for a
     standalone report or by .observe() to piggyback on a sink action.
-    Built lazily: Column construction needs an active SparkContext."""
-    c = F.col
-    return [
-        # points: Int, in_range(50, 100), nullable=False (ref :106-111)
-        ("points_null", _viol(c("points").isNull())),
-        ("points_out_of_range", _viol(c("points").isNotNull() & ~c("points").between(50, 100))),
-        # title: str_length(3, 200), nullable=True (ref :112-117)
-        ("title_bad_length", _viol(c("title").isNotNull() & ~F.length("title").between(3, 200))),
-        # description: str_length(min=10), nullable=True (ref :118-122)
-        ("description_too_short", _viol(c("description").isNotNull() & (F.length("description") < 10))),
-        # price: ge(0), nullable=True (ref :130-135)
-        ("price_negative", _viol(c("price").isNotNull() & (c("price") < 0))),
-        # country: isin(8 countries), nullable=False (ref :141-145)
-        ("country_null", _viol(c("country").isNull())),
-        ("country_not_allowed", _viol(c("country").isNotNull() & ~c("country").isin(ALLOWED_COUNTRIES))),
-        # derived columns: ge(0) / nullable=False (ref :147-151)
-        ("title_length_negative", _viol(c("title_length") < 0)),
-        ("description_length_negative", _viol(c("description_length") < 0)),
-        ("price_category_null", _viol(c("price_category").isNull())),
-        ("region_null", _viol(c("region").isNull())),
-        ("country_code_null", _viol(c("country_code").isNull())),
-    ]
+    Built lazily: Column construction needs an active SparkContext.
+    Derived from row_checks() so the aggregate report and the per-row
+    failure frame can never disagree on a predicate."""
+    return [(name, _viol(cond)) for name, _col, cond in row_checks()]
 
 
 def validation_report(df: DataFrame) -> DataFrame:
@@ -59,3 +41,70 @@ def validation_report(df: DataFrame) -> DataFrame:
     Output: a single row of counters, 0 = check passed everywhere.
     """
     return df.agg(*[expr.alias(name) for name, expr in validation_checks()])
+
+
+def row_checks() -> list[tuple[str, str, F.Column]]:
+    """(check_name, column_name, row-level violation predicate) for
+    every pandera check in the reference schema (reference
+    dags/wine_etl_kaggle.py:104-155: points in_range(50,100)
+    nullable=False :106-111, title str_length(3,200) :112-117,
+    description str_length(min=10) :118-122, price ge(0) :130-135,
+    country isin(8) nullable=False :141-145, derived ge(0)/non-null
+    :147-151). Nullable columns' checks skip nulls (pandera
+    ignore_na=True default) via IS NOT NULL in the predicate."""
+    c = F.col
+    return [
+        ("points_null", "points", c("points").isNull()),
+        ("points_out_of_range", "points", c("points").isNotNull() & ~c("points").between(50, 100)),
+        ("title_bad_length", "title", c("title").isNotNull() & ~F.length("title").between(3, 200)),
+        ("description_too_short", "description", c("description").isNotNull() & (F.length("description") < 10)),
+        ("price_negative", "price", c("price").isNotNull() & (c("price") < 0)),
+        ("country_null", "country", c("country").isNull()),
+        ("country_not_allowed", "country", c("country").isNotNull() & ~c("country").isin(ALLOWED_COUNTRIES)),
+        ("title_length_negative", "title_length", c("title_length") < 0),
+        ("description_length_negative", "description_length", c("description_length") < 0),
+        ("price_category_null", "price_category", c("price_category").isNull()),
+        ("region_null", "region", c("region").isNull()),
+        ("country_code_null", "country_code", c("country_code").isNull()),
+    ]
+
+
+def failure_cases(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Per-row pandera-style `failure_cases` frame (reference
+    dags/wine_etl_kaggle.py:162: the schema error's frame with one row
+    per offending (row, check), carrying the offending value) — the
+    row-level detail validation_report's aggregate counters drop.
+
+    Output: (row_id, column_name, check_name, failure_case) with
+    failure_case the offending value rendered as a string (NULL for
+    nullability checks, exactly as pandera reports them).
+
+    Shape: ONE narrow pass — every check is evaluated into an array of
+    optional structs per row, nulls filtered out, and the survivors
+    exploded. No shuffle at all: at 100 TB this is a map-only scan
+    whose output is proportional to violations, not rows × checks."""
+    entries = [
+        F.when(
+            cond,
+            F.struct(
+                F.lit(col_name).alias("column_name"),
+                F.lit(check_name).alias("check_name"),
+                F.col(col_name).cast("string").alias("failure_case"),
+            ),
+        )
+        for check_name, col_name, cond in row_checks()
+    ]
+    return (
+        df.select(
+            F.col(id_col).alias("row_id"),
+            F.explode(
+                F.filter(F.array(*entries), lambda x: x.isNotNull())
+            ).alias("__v"),
+        )
+        .select(
+            "row_id",
+            F.col("__v.column_name").alias("column_name"),
+            F.col("__v.check_name").alias("check_name"),
+            F.col("__v.failure_case").alias("failure_case"),
+        )
+    )

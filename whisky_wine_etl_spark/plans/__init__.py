@@ -22,7 +22,9 @@ def load_all() -> None:
         wine,
     )
 
-    # round3 LAST: it reuses earlier oracles at import time, and its
-    # queries must sort behind the still-unverified backlog in
-    # __spark_entry__.queries() (ties keep registration order)
+    # round3/round4 LAST, in round order: they reuse earlier oracles
+    # at import time, and newer rounds' queries must sort behind the
+    # still-unverified backlog in __spark_entry__.queries() (ties keep
+    # registration order)
     from whisky_wine_etl_spark.plans import round3  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4  # noqa: F401

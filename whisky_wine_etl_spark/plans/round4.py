@@ -1,0 +1,284 @@
+"""Round-4 additions: per-row validation failure frame, capped
+(scale-profile) exact shingle-pair dedup, as-of join with tolerance,
+and linear-interpolation resampling.
+
+Registered AFTER every earlier module (plans.load_all imports round4
+last) so the still-unverified round-3 backlog keeps the driver's first
+slots — __spark_entry__.queries() orders unverified-first with ties in
+registration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# V-1 per-row failure cases (reference dags/wine_etl_kaggle.py:162)
+# ---------------------------------------------------------------------------
+
+# the transformed-pipeline CTE is shared with wine_v1_validation_report
+from whisky_wine_etl_spark.plans.wine import _PIPELINE_SQL, wine_input  # noqa: E402
+
+_FAILURE_UNION = " UNION ALL ".join(
+    f"""
+SELECT id AS row_id, '{col}' AS column_name, '{check}' AS check_name,
+       CAST({col} AS VARCHAR) AS failure_case
+FROM pipe WHERE {pred}"""
+    for check, col, pred in [
+        ("points_null", "points", "points IS NULL"),
+        ("points_out_of_range", "points", "points IS NOT NULL AND (points < 50 OR points > 100)"),
+        ("title_bad_length", "title", "title IS NOT NULL AND (LENGTH(title) < 3 OR LENGTH(title) > 200)"),
+        ("description_too_short", "description", "description IS NOT NULL AND LENGTH(description) < 10"),
+        ("price_negative", "price", "price IS NOT NULL AND price < 0"),
+        ("country_null", "country", "country IS NULL"),
+        (
+            "country_not_allowed",
+            "country",
+            "country IS NOT NULL AND country NOT IN "
+            "('US','France','Italy','Spain','Argentina','Chile','Australia','Germany')",
+        ),
+        ("title_length_negative", "title_length", "title_length < 0"),
+        ("description_length_negative", "description_length", "description_length < 0"),
+        ("price_category_null", "price_category", "price_category IS NULL"),
+        ("region_null", "region", "region IS NULL"),
+        ("country_code_null", "country_code", "country_code IS NULL"),
+    ]
+)
+
+
+@query(
+    "wine_v2_failure_cases",
+    f"WITH pipe AS ({_PIPELINE_SQL}) {_FAILURE_UNION}",
+)
+def wine_v2_failure_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row pandera failure_cases parity (reference
+    dags/wine_etl_kaggle.py:162): one row per offending (row, check)
+    with the offending value, alongside wine_v1's aggregate counters.
+    Spark side is a single map-only scan (array of optional structs →
+    filter → explode, no shuffle); the oracle is the literal UNION ALL
+    of the twelve per-check selects over the same transformed CTE."""
+    from whisky_wine_etl_spark.operators import wine as wops
+    from whisky_wine_etl_spark.operators.validate import failure_cases
+
+    return failure_cases(wops.wine_transform(wine_input(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Capped (scale-profile) exact shingle-pair dedup. The uncapped
+# dedup_ngram_jaccard / dedup_containment stay registered as oracle
+# ground truth; these are the plans you RUN on a Zipfian 100 TB corpus,
+# where a hot shingle's posting list makes the inverted-index self-join
+# quadratic in its length. The cap drops postings longer than
+# _SHINGLE_CAP before pair generation, bounding per-shingle join work
+# at cap² while the recall cost is only pairs whose EVERY common
+# shingle is ultra-frequent (recall vs the uncapped twin is asserted in
+# tests/test_dedup_similarity.py). Both oracles mirror the cap exactly,
+# so these verify hash-exact, not rows-only.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CAP = 5  # ≈ p99 shingle frequency on the synthetic corpus; at
+# real scale set it as a document-frequency quantile, not an absolute
+
+_CAPPED_SHINGLES = """
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i+2], ' ') AS shingle
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i) i(i)
+),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {cap}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle))
+"""
+
+
+@query(
+    "dedup_ngram_capped",
+    f"""
+WITH {_CAPPED_SHINGLES.format(cap=_SHINGLE_CAP)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(COUNT(*) * 1.0 / (sa.n_sh + sb.n_sh - COUNT(*)), 6) AS jaccard
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with the stop-shingle cap ON (the scale
+    profile — see module comment). Jaccard denominators use the PRUNED
+    shingle sets, mirrored exactly by the oracle."""
+    from whisky_wine_etl_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, threshold=0.5, max_shingle_freq=_SHINGLE_CAP)
+
+
+@query(
+    "dedup_containment_capped",
+    f"""
+WITH {_CAPPED_SHINGLES.format(cap=_SHINGLE_CAP)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+""",
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment with the stop-shingle cap ON. Unlike the
+    Jaccard profile, sizes (denominators) are computed BEFORE pruning
+    — the true shingle-set size — so only the INTERSECTION loses the
+    ultra-frequent shingles; the oracle mirrors that asymmetry."""
+    from whisky_wine_etl_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, threshold=0.8, max_shingle_freq=_SHINGLE_CAP)
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (pandas merge_asof parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_tolerance",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.event_id END AS purchase_event_id,
+       CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.ts END AS purchase_ts,
+       CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.value END AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_asof_last_purchase with a 1-hour tolerance: a match older
+    than the tolerance is nulled out, exactly pandas merge_asof's
+    `tolerance=` contract. The operator applies the tolerance INSIDE
+    the same keyed window pass (operators/asof.py) — no second join;
+    the oracle is DuckDB's native ASOF LEFT JOIN with the gap filter
+    applied to the matched payload."""
+    from whisky_wine_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        left,
+        right,
+        on="ts",
+        by_left="user_id",
+        by_right="user_id",
+        value_cols=["purchase_event_id", "purchase_ts", "purchase_value"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resample (gap fill without forward-fill bias)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_interpolate_linear",
+    """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_ts
+  FROM events
+),
+ranked AS (
+  SELECT user_id, bucket_ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket_ts
+                            ORDER BY sec DESC, event_id DESC) AS rn
+  FROM e
+),
+knots AS (
+  SELECT user_id, bucket_ts, value AS kv FROM ranked WHERE rn = 1
+),
+rng AS (SELECT user_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx FROM e GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(g.b AS BIGINT) AS bucket_ts
+  FROM rng, LATERAL (SELECT unnest(range(mn, mx + 3600, 3600)) AS b) g(b)
+),
+j AS (
+  SELECT g.user_id, g.bucket_ts, k.kv,
+         CASE WHEN k.kv IS NOT NULL THEN g.bucket_ts END AS kt
+  FROM grid g LEFT JOIN knots k
+    ON g.user_id = k.user_id AND g.bucket_ts = k.bucket_ts
+),
+f AS (
+  SELECT user_id, bucket_ts,
+         LAST_VALUE(kv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+           ROWS UNBOUNDED PRECEDING) AS pv,
+         LAST_VALUE(kt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+           ROWS UNBOUNDED PRECEDING) AS pt,
+         FIRST_VALUE(kv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(kt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT user_id, bucket_ts,
+       ROUND(CASE WHEN pt = nt THEN pv
+                  ELSE pv + (nv - pv) * (bucket_ts - pt) / (nt - pt) END
+             + 1e-9, 4)
+         AS value_interp
+FROM f
+""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap fill by LINEAR interpolation: per-user hourly
+    grid where empty buckets take the straight line between the
+    surrounding observations (resample_ffill's twin for signals where
+    carrying the last value flat would bias downstream features).
+    Edges never extrapolate — buckets before the first / after the
+    last observation stay NULL. Same distributed shape as the ffill
+    plan: one (key,bucket) groupBy, sequence+explode grid, two passes
+    over one keyed window partition (one shuffle total).
+
+    Rounding: source values carry 4 decimals, so interpolated
+    midpoints frequently land EXACTLY on a round-half boundary, where
+    a 1-ulp cross-engine difference (e.g. FMA contraction) flips the
+    4th decimal. Both sides add a deterministic 1e-9 nudge before
+    rounding: exact interpolants are small-denominator rationals, so
+    they can sit ON a boundary but never within 1e-12 of
+    boundary − 1e-9 — the nudge resolves every tie identically."""
+    from whisky_wine_etl_spark.operators.timeseries import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_interpolate(ev, step_sec=3600)
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        F.round(F.col("value_interp") + F.lit(1e-9), 4).alias("value_interp"),
+    )
