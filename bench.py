@@ -61,6 +61,10 @@ HEADLINE = [
     "dedup_incremental",              # ledger dedup: batch vs corpus hashes
     "dedup_containment",              # exact overlap-coefficient pairs
     "text_vocab_topk",                # corpus vocabulary head (tf+df top-k)
+    "pyds_range_events",              # Python DataSource connector scan
+    "table_time_travel",              # snapshot-table version read
+    "graph_pagerank_copurchase",      # iterative pagerank (fixed rounds)
+    "dedup_containment_capped",       # stop-shingle scale profile (vs uncapped row above)
 ]
 
 

@@ -291,3 +291,23 @@ def test_snapshot_vacuum_keeps_referenced_files_only(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         snap.read_snapshot(spark, table, 1)
+
+
+def test_contract_failures_reconcile_with_counters(spark):
+    """Per-row contract frame must reconcile with the aggregate
+    counter query rule-for-rule on the same corrupted input."""
+    from whisky_wine_etl_spark import plans
+
+    plans.load_all()
+    per_row = plans.QUERIES["contract_failures_orders"](spark, SF)
+    by_rule = {
+        r.check_name: r.cnt
+        for r in per_row.groupBy("check_name").count().withColumnRenamed("count", "cnt").collect()
+    }
+    # the corruption plants offenders for every row-local rule
+    assert by_rule.get("totalprice_nonneg", 0) > 0
+    assert by_rule.get("priority_in_domain", 0) > 0
+    assert by_rule.get("orderdate_in_range", 0) > 0
+    assert by_rule.get("custkey_fk", 0) > 0
+    # every failure row carries the offending value
+    assert per_row.filter(F.col("failure_case").isNull()).count() == 0

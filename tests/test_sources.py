@@ -171,3 +171,42 @@ def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].old_col == "a" and rows[1].new_col is None
     assert rows[2].new_col == 4.5 and rows[2].old_col is None
+
+
+def test_postgres_dialect_create_table_rendering(spark):
+    """S-5 Postgres parity without a server: render the exact CREATE
+    TABLE column list Spark's JDBC writer would execute against the
+    reference's Postgres sink (wine_etl_kaggle.py:167-204, dtype map
+    :175-194) by driving JdbcUtils.schemaString with the real
+    PostgresDialect and our createTableColumnTypes clause. Also pins
+    the Derby divergence (STRING→CLOB) that forces the round-trip
+    test's VARCHAR override — the two dialects must differ exactly
+    where documented."""
+    from whisky_wine_etl_spark.operators import wine as wops
+    from whisky_wine_etl_spark.plans.wine import wine_input
+    from whisky_wine_etl_spark.sources import io as sio
+
+    t = wops.wine_transform(wine_input(spark, "/root/testdata/sf0.001"))
+    clause = sio.column_types_clause(sio.WINE_JDBC_COLUMN_TYPES, t.columns)
+    jvm = spark._jvm
+    ju = getattr(
+        jvm.org.apache.spark.sql.execution.datasources.jdbc, "JdbcUtils$"
+    ).__getattr__("MODULE$")
+    opt = jvm.scala.Option.apply(clause)
+
+    pg = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:postgresql://h/db")
+    s_pg = ju.schemaString(pg, t._jdf.schema(), False, opt)
+    # SQLAlchemy Text → TEXT; Integer → INTEGER; String(255) → VARCHAR;
+    # SmallInteger → SMALLINT (reference dtype map, one per line)
+    assert '"description" TEXT' in s_pg
+    assert '"points" INTEGER' in s_pg
+    assert '"title" VARCHAR(255)' in s_pg
+    assert '"price_category" VARCHAR(50)' in s_pg
+    assert '"country_code" SMALLINT' in s_pg
+    assert '"price" FLOAT4' in s_pg
+    assert "CLOB" not in s_pg
+
+    derby = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:derby:memory:x")
+    s_derby = ju.schemaString(derby, t._jdf.schema(), False, opt)
+    assert '"description" CLOB' in s_derby  # the documented Derby quirk
+    assert '"price" REAL' in s_derby

@@ -69,15 +69,14 @@ def row_checks() -> list[tuple[str, str, F.Column]]:
     ]
 
 
-def failure_cases(df: DataFrame, id_col: str = "id") -> DataFrame:
-    """Per-row pandera-style `failure_cases` frame (reference
-    dags/wine_etl_kaggle.py:162: the schema error's frame with one row
-    per offending (row, check), carrying the offending value) — the
-    row-level detail validation_report's aggregate counters drop.
-
-    Output: (row_id, column_name, check_name, failure_case) with
-    failure_case the offending value rendered as a string (NULL for
-    nullability checks, exactly as pandera reports them).
+def row_failures(
+    df: DataFrame,
+    checks: list[tuple[str, str, F.Column]],
+    id_col: str,
+) -> DataFrame:
+    """Generic per-row violation frame: for every (check_name,
+    column_name, predicate), emit one row per offending input row with
+    the offending value rendered as a string.
 
     Shape: ONE narrow pass — every check is evaluated into an array of
     optional structs per row, nulls filtered out, and the survivors
@@ -92,7 +91,7 @@ def failure_cases(df: DataFrame, id_col: str = "id") -> DataFrame:
                 F.col(col_name).cast("string").alias("failure_case"),
             ),
         )
-        for check_name, col_name, cond in row_checks()
+        for check_name, col_name, cond in checks
     ]
     return (
         df.select(
@@ -108,3 +107,15 @@ def failure_cases(df: DataFrame, id_col: str = "id") -> DataFrame:
             F.col("__v.failure_case").alias("failure_case"),
         )
     )
+
+
+def failure_cases(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Per-row pandera-style `failure_cases` frame (reference
+    dags/wine_etl_kaggle.py:162: the schema error's frame with one row
+    per offending (row, check), carrying the offending value) — the
+    row-level detail validation_report's aggregate counters drop.
+
+    Output: (row_id, column_name, check_name, failure_case) with
+    failure_case the offending value rendered as a string (NULL for
+    nullability checks, exactly as pandera reports them)."""
+    return row_failures(df, row_checks(), id_col)

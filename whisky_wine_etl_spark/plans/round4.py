@@ -282,3 +282,105 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ts",
         F.round(F.col("value_interp") + F.lit(1e-9), 4).alias("value_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-row contract failures over a scaled fact table (the generic
+# counterpart of wine_v2_failure_cases — debugging detail for bad
+# batches). The driver's orders table is clean, so both engines apply
+# the SAME deterministic corruption expressions first (the WINE_EXPRS
+# pattern): every rule then has real offenders to report.
+# ---------------------------------------------------------------------------
+
+_CORRUPT_ORDERS = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 89 = 0 THEN 'X-BOGUS' ELSE o_orderpriority END AS o_orderpriority,
+       CASE WHEN o_orderkey % 101 = 0 THEN -o_custkey ELSE o_custkey END AS o_custkey,
+       CASE WHEN o_orderkey % 103 = 0 THEN TIMESTAMP '1970-01-01' ELSE o_orderdate END AS o_orderdate
+FROM orders
+"""
+
+_CONTRACT_PREDS = [
+    ("totalprice_nonneg", "o_totalprice", "o_totalprice < 0"),
+    (
+        "orderdate_in_range",
+        "o_orderdate",
+        "o_orderdate IS NULL OR o_orderdate < TIMESTAMP '1992-01-01'"
+        " OR o_orderdate >= TIMESTAMP '2000-01-01'",
+    ),
+    (
+        "priority_in_domain",
+        "o_orderpriority",
+        "o_orderpriority NOT IN "
+        "('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')",
+    ),
+]
+
+_CONTRACT_UNION = " UNION ALL ".join(
+    f"""
+SELECT o_orderkey AS row_id, '{col}' AS column_name, '{check}' AS check_name,
+       CAST({col} AS VARCHAR) AS failure_case
+FROM o2 WHERE {pred}"""
+    for check, col, pred in _CONTRACT_PREDS
+)
+
+
+@query(
+    "contract_failures_orders",
+    f"""
+WITH o2 AS ({_CORRUPT_ORDERS})
+{_CONTRACT_UNION}
+UNION ALL
+SELECT o_orderkey AS row_id, 'o_custkey' AS column_name, 'custkey_fk' AS check_name,
+       CAST(o_custkey AS VARCHAR) AS failure_case
+FROM o2 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o2.o_custkey)
+""",
+)
+def contract_failures_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row contract violations over orders (contract_check_orders
+    reports the same rules as aggregate counters): row-local rules run
+    in ONE map-only array-filter-explode pass (operators/validate.py
+    row_failures — output ∝ violations, zero shuffles), and the
+    referential rule contributes its offenders via one left-anti join
+    on the key. Both engines corrupt the clean input with the same
+    deterministic CASE expressions so every rule has real rows to
+    report."""
+    from whisky_wine_etl_spark.operators.validate import row_failures
+
+    o2 = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice",
+        "CASE WHEN o_orderkey % 89 = 0 THEN 'X-BOGUS' ELSE o_orderpriority END AS o_orderpriority",
+        "CASE WHEN o_orderkey % 101 = 0 THEN -o_custkey ELSE o_custkey END AS o_custkey",
+        "CASE WHEN o_orderkey % 103 = 0 THEN TIMESTAMP '1970-01-01' ELSE o_orderdate END AS o_orderdate",
+    )
+    checks = [
+        ("totalprice_nonneg", "o_totalprice", F.col("o_totalprice") < 0),
+        (
+            "orderdate_in_range",
+            "o_orderdate",
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")),
+        ),
+        (
+            "priority_in_domain",
+            "o_orderpriority",
+            ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        ),
+    ]
+    local = row_failures(o2, checks, id_col="o_orderkey")
+    c = _t(spark, sf_dir, "customer")
+    fk = (
+        o2.join(c, o2.o_custkey == c.c_custkey, "left_anti")
+        .select(
+            F.col("o_orderkey").alias("row_id"),
+            F.lit("o_custkey").alias("column_name"),
+            F.lit("custkey_fk").alias("check_name"),
+            F.col("o_custkey").cast("string").alias("failure_case"),
+        )
+    )
+    return local.unionByName(fk)

@@ -175,10 +175,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     because a scalar aggregate is 1 row at every SF; supplier itself
     scales with SF and is unhinted). The equality invariant: each
     engine compares its OWN round(sum,2) values against the max of
-    those same values — the compared doubles come from one in-engine
-    computation path, so the equality is exact within each engine by
-    construction; no cross-engine double comparison happens. rev is
-    computed once and reused via persist — one row per supplier."""
+    those same values, so no cross-engine double comparison happens —
+    but that is only sound if both sides of the equality read ONE
+    materialized aggregation. persist() is not a guarantee (an evicted
+    cache recomputes, and two independent float-sum orders can differ
+    by an ulp and straddle a rounding boundary), so rev is
+    localCheckpoint'ed: both the max and the filter scan the same
+    materialized rows, making the equality exact by construction at
+    any scale. max_by was considered and rejected — it returns one
+    winner, while Q15's contract (and the oracle) keeps ALL tied
+    top suppliers. Checkpoint size is one row per active supplier."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-07-01"))
@@ -190,7 +196,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     top = rev.agg(F.max("total_revenue").alias("__top"))
     s = _t(spark, sf_dir, "supplier")

@@ -138,16 +138,16 @@ def write_jdbc_append(
     tasks opens one connection and executes `batchsize`-row inserts.
     `column_types` ↦ createTableColumnTypes (reference dtype map).
 
-    VERIFIED DIALECT: Derby (embedded — the only JDBC engine in this
-    container; round-trip tests in tests/test_sources.py). The
-    reference's actual sink is Postgres (wine_etl_kaggle.py:167-204);
-    the code path is dialect-generic — Spark's PostgresDialect maps
-    the same `column_types` DDL (STRING→TEXT, FLOAT→real, SMALLINT
-    kept) and, unlike Derby's CLOB mapping, accepts null strings into
-    VARCHAR — but no Postgres server exists here, so that rendering is
-    asserted only by documented expectation, not an integration test.
-    Before first production use against Postgres, run the
-    tests/test_sources.py round-trip against a real instance."""
+    DIALECTS: the full INSERT round-trip is integration-tested against
+    embedded Derby (the only JDBC engine in this container), and the
+    Postgres rendering — the reference's actual sink
+    (wine_etl_kaggle.py:167-204) — is pinned by driving Spark's own
+    PostgresDialect through JdbcUtils.schemaString in
+    tests/test_sources.py: the exact CREATE TABLE column list the
+    writer would execute (STRING→TEXT, FLOAT→FLOAT4, SMALLINT kept)
+    is asserted, including where it must diverge from Derby
+    (STRING→CLOB there). Only live-connection behavior (null binding,
+    batching) rides on the Derby test."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
