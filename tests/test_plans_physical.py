@@ -375,3 +375,49 @@ def test_vocab_topk_partial_agg_before_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert plan.count("Sort ") == 0  # no standalone global sort operator
+
+
+def test_failure_cases_is_map_only_after_pipeline(spark):
+    """The per-row failure frames must add ZERO work beyond the scan
+    they ride on: no Python eval anywhere, and the explode is a
+    Generate directly over the projected input — the only exchanges
+    in wine_v2 are the wine pipeline's own (median impute), and the
+    contract frame's row-local branch shuffles only for the FK
+    anti-join and the final union's sink."""
+    wine = plans.QUERIES["wine_v2_failure_cases"](spark, SF)
+    plan = wine._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan
+    base = plans.QUERIES["wine_pipeline"](spark, SF)
+    base_ex = base._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert plan.count("Exchange") <= base_ex  # no NEW shuffles added
+
+    contract = plans.QUERIES["contract_failures_orders"](spark, SF)
+    cplan = contract._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in cplan
+    assert "Generate explode" in cplan
+
+
+def test_interpolate_single_window_pass(spark):
+    """All four gap-fill window functions (prev/next value and
+    timestamp) must evaluate in ONE Window operator over one keyed
+    sort — four separate window passes would be 4x the in-partition
+    work."""
+    df = plans.QUERIES["ts_interpolate_linear"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_capped_dedup_prunes_before_self_join(spark):
+    """The stop-shingle cap must filter the posting lists BEFORE the
+    pair self-join (candidate generation), not after — pruning after
+    would leave the quadratic hot-shingle work in place."""
+    df = plans.QUERIES["dedup_ngram_capped"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the frequency filter (count <= cap) appears as a join against the
+    # kept-shingle set feeding the pair join: two shingle derivations
+    # joined on shingle, with the aggregate filter between them
+    assert "count" in opt.lower()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
