@@ -1256,9 +1256,14 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n_nodes = nodes.count()
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    # (src, dst, d): degree attached once and MATERIALIZED, hash-
+    # partitioned on src — without the checkpoint each iteration
+    # re-runs the edges⋈deg join (two edge-scale shuffles per round);
+    # with it, the per-round join only exchanges the ranks side (one
+    # row per node) against the already-partitioned edge list
     contrib_src = edges.join(
         deg.withColumnRenamed("node", "src"), "src"
-    )  # (src, dst, d) — degree attached once, reused every round
+    ).localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(3):
         contrib = (
