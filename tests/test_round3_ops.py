@@ -311,3 +311,34 @@ def test_contract_failures_reconcile_with_counters(spark):
     assert by_rule.get("custkey_fk", 0) > 0
     # every failure row carries the offending value
     assert per_row.filter(F.col("failure_case").isNull()).count() == 0
+
+
+def test_neardup_against_corpus_catches_edited_recrawl(spark):
+    """The fuzzy ingestion gate: an incoming doc that is a corpus doc
+    with ONE token edited must be rejected (high Jaccard, best match
+    = its source); an unrelated doc survives; an exact copy scores
+    1.0. Exact-hash ledgers (incremental_dedup) catch only the third."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    edited = base.replace("tok20", "EDITED")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="completely different words " * 8)]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=edited),        # re-crawl with one edit
+            Row(doc_id=11, text=base),          # exact copy
+            Row(doc_id=12, text="fresh new content nothing shares this"),
+        ]
+    )
+    out = {
+        r.doc_id: (r.matched_corpus_id, r.jaccard)
+        for r in dd.neardup_against_corpus(corpus, incoming, threshold=0.5).collect()
+    }
+    assert out[11] == (1, 1.0)
+    assert out[10][0] == 1 and 0.8 < out[10][1] < 1.0
+    assert 12 not in out
+    # and the exact ledger would have missed the edited re-crawl
+    exact_survivors = {
+        r.doc_id for r in dd.incremental_dedup(corpus, incoming).collect()
+    }
+    assert 10 in exact_survivors

@@ -574,6 +574,78 @@ def incremental_dedup(
     )
 
 
+def neardup_against_corpus(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup rejection: which incoming-batch documents
+    are n-gram-Jaccard >= threshold to SOME already-ingested document.
+    incremental_dedup's fuzzy counterpart — exact-hash ledgers miss a
+    re-crawled page with one edited sentence; this catches it without
+    ever re-pairing the corpus against itself.
+
+    Work ∝ shingle collisions BETWEEN the two sides only (inverted-
+    index join batch-postings x corpus-postings): the corpus
+    contributes one posting list per shingle — at 100 TB that list is
+    the maintained SHINGLE LEDGER, bucketed by shingle hash, so each
+    load co-locates against it and history text is never rescanned.
+    max_shingle_freq is the same stop-shingle cap as jaccard_pairs,
+    applied to the CORPUS posting lists (the side whose hot lists
+    grow with history); sizes on both sides stay the true set sizes.
+
+    Returns one row per REJECTED incoming doc:
+    (doc_id, matched_corpus_id, jaccard) with the best match kept
+    (highest Jaccard, ties to the smallest corpus id — deterministic
+    for the SQL oracle)."""
+    sh_c = shingles(corpus, text_col, id_col, n).withColumnRenamed(id_col, "__cid")
+    sh_i = shingles(incoming, text_col, id_col, n).withColumnRenamed(id_col, "__iid")
+    size_c = sh_c.groupBy("__cid").agg(F.count(F.lit(1)).alias("__nc"))
+    size_i = sh_i.groupBy("__iid").agg(F.count(F.lit(1)).alias("__ni"))
+    if max_shingle_freq is not None:
+        keep = (
+            sh_c.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh_c = sh_c.join(keep, "shingle")
+    inter = (
+        sh_i.join(sh_c, "shingle")
+        .groupBy("__iid", "__cid")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    scored = (
+        inter.join(size_i, "__iid")
+        .join(size_c, "__cid")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common") / (F.col("__ni") + F.col("__nc") - F.col("__common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = scored.groupBy("__iid").agg(
+        F.max_by(
+            F.struct(
+                F.col("__cid").alias("matched_corpus_id"), F.col("jaccard")
+            ),
+            F.struct(F.col("jaccard"), (-F.col("__cid")).alias("__neg")),
+        ).alias("__m")
+    )
+    return best.select(
+        F.col("__iid").alias(id_col),
+        F.col("__m.matched_corpus_id").alias("matched_corpus_id"),
+        F.col("__m.jaccard").alias("jaccard"),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     threshold: float = 0.8,

@@ -384,3 +384,64 @@ def contract_failures_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return local.unionByName(fk)
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: fuzzy counterpart of dedup_incremental — the
+# realistic 100 TB ingestion gate (exact-hash ledgers miss re-crawled
+# pages with one edited sentence). Same corpus/batch split as the
+# exact ledger query so the two can be read side by side.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental_neardup",
+    """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+tkc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+tki AS (SELECT doc_id, string_split(text, ' ') AS toks FROM inc),
+shc AS (
+  SELECT DISTINCT doc_id AS cid, array_to_string(toks[i.i:i.i+2], ' ') AS shingle
+  FROM tkc, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i) i(i)
+),
+shi AS (
+  SELECT DISTINCT doc_id AS iid, array_to_string(toks[i.i:i.i+2], ' ') AS shingle
+  FROM tki, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i) i(i)
+),
+sc AS (SELECT cid, COUNT(*) AS nc FROM shc GROUP BY cid),
+si AS (SELECT iid, COUNT(*) AS ni FROM shi GROUP BY iid),
+inter AS (
+  SELECT i.iid, c.cid, COUNT(*) AS n_common
+  FROM shi i JOIN shc c ON i.shingle = c.shingle
+  GROUP BY i.iid, c.cid
+),
+scored AS (
+  SELECT iid, cid,
+         ROUND(n_common * 1.0 / (si.ni + sc.nc - n_common), 6) AS jaccard
+  FROM inter JOIN si USING (iid) JOIN sc USING (cid)
+),
+best AS (
+  SELECT iid, cid, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY iid ORDER BY jaccard DESC, cid ASC) AS rn
+  FROM scored WHERE jaccard >= 0.5
+)
+SELECT iid AS doc_id, cid AS matched_corpus_id, jaccard
+FROM best WHERE rn = 1
+""",
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-batch docs (doc_id % 4 = 0) near-duplicate (3-gram
+    Jaccard >= 0.5) to SOME corpus doc, with the best match attached —
+    the fuzzy ingestion gate beside dedup_incremental's exact-hash
+    ledger. One inverted-index join between batch postings and the
+    corpus shingle ledger (operators/dedup.py neardup_against_corpus);
+    history work is the ledger lookup, never corpus×corpus pairing.
+    Best-match ties break to the smallest corpus id so both engines
+    pick identical rows."""
+    from whisky_wine_etl_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    incoming = docs.filter(F.col("doc_id") % 4 == 0)
+    return dd.neardup_against_corpus(corpus, incoming, threshold=0.5)
