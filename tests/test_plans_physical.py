@@ -421,3 +421,13 @@ def test_capped_dedup_prunes_before_self_join(spark):
     assert "count" in opt.lower()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    """EqualNullSafe must plan as a hash-joinable key (broadcast or
+    shuffled hash/SMJ) — a fallback to BroadcastNestedLoopJoin would
+    make the null-safe form quadratic at scale."""
+    df = plans.QUERIES["join_null_safe_eq"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)

@@ -445,3 +445,54 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     incoming = docs.filter(F.col("doc_id") % 4 == 0)
     return dd.neardup_against_corpus(corpus, incoming, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM) — the join semantic
+# CDC/merge pipelines rely on (operators/merge.py joins with
+# eqNullSafe). Registered standalone so the surface is driver-verified
+# directly, not only through the merge operator.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_null_safe_eq",
+    """
+WITH ca AS (
+  SELECT c_custkey, CASE WHEN c_custkey % 997 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer
+),
+ob AS (
+  SELECT o_orderkey, CASE WHEN o_custkey % 997 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders
+)
+SELECT ca.c_custkey, CAST(COUNT(ob.o_orderkey) AS BIGINT) AS n_orders
+FROM ca JOIN ob ON ca.k IS NOT DISTINCT FROM ob.k
+GROUP BY ca.c_custkey
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: both sides null a sliver of their keys
+    (custkey % 997) and join with <=>, so NULL matches NULL instead of
+    dropping — every null-keyed customer picks up every null-keyed
+    order, the exact semantic an SCD/CDC merge needs for nullable
+    business keys. Spark plans EqualNullSafe as an ordinary HASH join
+    key (asserted in tests/test_plans_physical.py) — no fallback to a
+    nested-loop — so the null-safe form scales identically to `=`."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 997 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("k"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 997 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+    )
+    return (
+        c.join(o, F.col("k").eqNullSafe(F.col("ck")))
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
