@@ -221,3 +221,32 @@ def test_source_drift_tv_matches_hand_computation(spark):
     # B (y 1/2, z 1/2): ½(|1/2−2/5| + |1/2−1/5| + 2/5) = 0.4
     assert abs(out["A"] - 4 / 15) < 1e-12
     assert abs(out["B"] - 0.4) < 1e-12
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Span dedup contract: a 10-token line repeated across docs
+    survives only in the earliest (doc_id, line_idx) position; unique
+    lines and partial tail lines are untouched."""
+    from whisky_wine_etl_spark import plans
+
+    plans.load_all()
+    span = " ".join(f"s{i}" for i in range(10))      # one full shared line
+    uniq1 = " ".join(f"a{i}" for i in range(10))
+    uniq2 = " ".join(f"b{i}" for i in range(7))       # partial tail (7 toks)
+    docs = spark.createDataFrame(
+        [
+            (1, span + " " + uniq1),                  # lines: span, uniq1
+            (2, span + " " + uniq2),                  # lines: span(dup), uniq2
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(d + "/documents.parquet")
+        out = {
+            r.doc_id: (r.n_lines_kept, r.n_tokens_kept)
+            for r in plans.QUERIES["corpus_line_dedup"](spark, d).collect()
+        }
+    assert out[1] == (2, 20)   # keeps span + uniq1
+    assert out[2] == (1, 7)    # span deduped away, keeps only the tail

@@ -496,3 +496,81 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style span-level dedup: duplicated fixed-length token spans are
+# removed corpus-wide (first occurrence wins), documents report what
+# survived — the preprocessing step that catches boilerplate repeated
+# ACROSS documents that document-level dedup can't touch.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_line_dedup",
+    """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ln AS (
+  SELECT doc_id, CAST(i.i AS BIGINT) AS line_idx,
+         array_to_string(toks[(i.i*10+1):(i.i*10+10)], ' ') AS line_text,
+         LEAST(len(toks) - i.i*10, 10) AS n_toks
+  FROM tk, LATERAL (SELECT unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS i) i(i)
+),
+r AS (
+  SELECT doc_id, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY line_text
+                            ORDER BY doc_id, line_idx) AS rn
+  FROM ln
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept
+FROM r WHERE rn = 1
+GROUP BY doc_id
+""",
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span dedup (the C4 "discard repeated spans" step):
+    each document is cut into 10-token lines, every duplicated line
+    keeps only its FIRST occurrence ((doc_id, line_idx) order — the
+    same deterministic winner rule as exact_dedup), and each doc
+    reports how many lines/tokens survived. ~5% of this corpus's
+    lines are cross-document duplicates (shared spans of the near-dup
+    pairs), so the numbers move.
+
+    Shape: line generation is one narrow transform+explode (the token
+    array is materialized once per row, same discipline as shingles);
+    the global first-occurrence pick is one window over line_text —
+    the same shuffle a groupBy(line_text) would cost, keyed by
+    content hash at 100 TB with no skew beyond genuine boilerplate
+    (a cap like max_shingle_freq applies if one span dominates);
+    the per-doc rollup is a partial-agg'd groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    lines = (
+        docs.select(F.col("doc_id"), F.split("text", " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(ceil(size(__toks)/10.0) AS INT) - 1),"
+                    " i -> named_struct("
+                    "'line_idx', CAST(i AS BIGINT),"
+                    " 'line_text', array_join(slice(__toks, i*10+1, 10), ' '),"
+                    " 'n_toks', least(size(__toks) - i*10, 10)))"
+                )
+            ).alias("l"),
+        )
+        .select("doc_id", "l.line_idx", "l.line_text", "l.n_toks")
+    )
+    w = W.partitionBy("line_text").orderBy("doc_id", "line_idx")
+    return (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens_kept"),
+        )
+    )
