@@ -574,3 +574,50 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("n_tokens_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median over a moving row frame — the robust smoothing
+# baseline (anomaly detection, monitoring) that mean-based rolling
+# stats can't give. Also pins that Spark evaluates a full AGGREGATE
+# (percentile) as a window function over a bounded frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rolling_median",
+    """
+SELECT event_id, user_id,
+       ROUND(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+         AS rolling_median_24
+FROM events
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median of each user's trailing 24 events:
+    Spark's `percentile` aggregate evaluated as a window over a
+    bounded ROWS frame — one shuffle on user_id, per-row work bounded
+    by the frame length, state never exceeds 24 values per row. The
+    oracle is DuckDB's quantile_cont over the identical frame; both
+    interpolate the even-count middle the same way, and the shared
+    1e-9 nudge before 4-dp rounding resolves the exact decimal-half
+    midpoints 4-decimal source values produce (same hazard as
+    ts_interpolate_linear). (event_id breaks ts ties so both engines
+    see identical frames.)"""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w) + F.lit(1e-9), 4).alias(
+            "rolling_median_24"
+        ),
+    )
