@@ -96,8 +96,16 @@ def main() -> int:
                 df.collect()
             samples[name].append(time.perf_counter() - t0)
             # drop persisted intermediates (LSH bands, shingle arrays,
-            # ...) so no query's working set leaks into the next one
+            # ...) so no query's working set leaks into the next one.
+            # clearCache() misses localCheckpoint RDDs (pagerank, CC
+            # label frames): those are freed when their py4j refs are
+            # collected, so force the Python GC — otherwise executor
+            # storage fills over the suite and later iterative queries
+            # measure GC pressure, not their own plan
             spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
