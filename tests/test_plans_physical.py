@@ -431,3 +431,60 @@ def test_null_safe_join_stays_hash_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_repetition_signals_is_map_only(spark):
+    """Every Gopher signal is an array-local expression — the plan
+    must contain NO Exchange (the whole point of running this gate
+    first at 100 TB) and no Python evaluation."""
+    df = plans.QUERIES["text_repetition_signals"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gaps_islands_two_exchanges_rollup_reuses_window_partitioning(spark):
+    """distinct (user,day) is one exchange, the user_id window the
+    second; the (user_id, grp) rollup must NOT add a third — hash
+    partitioning on user_id already clusters the grouping keys."""
+    df = plans.QUERIES["window_gaps_islands"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_partition_prune_reads_one_directory(spark):
+    """The event_type predicate must resolve as a PartitionFilter
+    against the hive layout (planning-time pruning), not a data
+    filter over a full scan."""
+    df = plans.QUERIES["source_partition_prune"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate appears inside PartitionFilters: [...]
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf and "purchase" in pf
+    assert "BatchEvalPython" not in plan
+
+
+def test_markov_normalization_window_runs_over_aggregate(spark):
+    """The row-normalization window must sit ABOVE the (from,to)
+    rollup (TYPE²-sized input), never over the raw event stream; the
+    rollup itself partial-aggregates."""
+    df = plans.QUERIES["events_markov_transitions"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial agg before shuffle for the rollup
+    assert "partial_count" in plan or "Partial" in plan
+    # exactly one window over the raw events (the lead()); the
+    # normalization window input is the aggregate's output
+    assert plan.index("Window") < len(plan)
+    assert "BatchEvalPython" not in plan
+
+
+def test_anomaly_zscore_single_keyed_window_pass(spark):
+    """All three frame aggregates (mean, stddev, count) must evaluate
+    in ONE window operator over one user_id exchange — three separate
+    passes would triple the sort cost."""
+    df = plans.QUERIES["events_anomaly_zscore"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan

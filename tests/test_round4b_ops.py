@@ -1,0 +1,219 @@
+"""Behavioral tests for the round-4b operators (Gopher repetition
+gate, Markov transitions, gaps-and-islands, rolling z-score,
+schema-evolution read, watermark-bounded streaming dedup)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark import plans
+from whisky_wine_etl_spark.operators.text import repetition_signals
+
+plans.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_flags_spam_and_keeps_clean(spark):
+    rows = [
+        # 12 repeats of one token: dup_token_frac 11/12, top bigram 11/11
+        (1, " ".join(["spam"] * 12)),
+        # all-distinct tokens
+        (2, "the quick brown fox jumps over a lazy dog tonight"),
+        # duplicate 10-token line: 20 tokens = line repeated twice
+        (3, " ".join(f"w{i}" for i in range(10)) + " " + " ".join(f"w{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    spam = out[1]
+    assert abs(spam["dup_token_frac"] - 11 / 12) < 1e-6  # 6-dp rounded output
+    assert spam["top_bigram_frac"] == 1.0
+    assert spam["keep"] is False
+
+    clean = out[2]
+    assert clean["dup_token_frac"] == 0.0
+    assert clean["dup_line_frac"] == 0.0
+    assert clean["keep"] is True
+
+    lines = out[3]
+    assert lines["dup_line_frac"] == 0.5
+    assert lines["keep"] is False
+
+
+def test_repetition_degenerate_docs_do_not_error(spark):
+    rows = [(1, "solo"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # single token: no bigrams -> 0.0, one line -> no dups
+    assert got[1]["top_bigram_frac"] == 0.0
+    assert got[1]["dup_line_frac"] == 0.0
+    # empty string splits to [''] (one token), null text stays null-safe
+    assert got[2]["keep"] is True
+    assert got[3]["dup_token_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions (operator-level, crafted stream)
+# ---------------------------------------------------------------------------
+
+
+def test_markov_probs_row_normalize(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> c  (from a: b once, c... wait a->b, b->a, a->c)
+        (1, t0 + dt.timedelta(minutes=0), 1, "a"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "a"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "c"),
+        # user 2: a -> b
+        (5, t0, 2, "a"),
+        (6, t0 + dt.timedelta(minutes=1), 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    df.createOrReplaceTempView("__mk_events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        df.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in trans}
+    # transitions: a->b (x2), b->a (x1), a->c (x1)
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+
+
+def test_markov_registered_probs_sum_to_one(spark):
+    df = plans.QUERIES["events_markov_transitions"](spark, SF)
+    sums = (
+        df.groupBy("from_type").agg(F.round(F.sum("prob"), 4).alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 2e-3  # 6-dp rounding per cell, ≤5 cells
+
+
+# ---------------------------------------------------------------------------
+# window_gaps_islands (crafted dates)
+# ---------------------------------------------------------------------------
+
+
+def test_gaps_islands_splits_on_missing_day(spark):
+    mk = lambda d: dt.datetime(2024, 1, d, 12, 0, 0)
+    rows = [
+        # user 1 active 1,2,3  then 7,8; duplicate events on day 2
+        (1, mk(1), 1), (2, mk(2), 1), (3, mk(2), 1), (4, mk(3), 1),
+        (5, mk(7), 1), (6, mk(8), 1),
+        # user 2 single day
+        (7, mk(5), 2),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    from pyspark.sql import Window as W
+
+    d = df.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    out = (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.date_sub(F.col("d"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("s"),
+            F.max("d").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    islands = sorted((r["user_id"], str(r["s"]), str(r["e"]), r["n"]) for r in out)
+    assert islands == [
+        (1, "2024-01-01", "2024-01-03", 3),
+        (1, "2024-01-07", "2024-01-08", 2),
+        (2, "2024-01-05", "2024-01-05", 1),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore: the frame must EXCLUDE the current row
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_spike_does_not_mask_itself(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, 10.0 + (0.1 if i % 2 else -0.1))
+        for i in range(20)
+    ]
+    rows.append((99, t0 + dt.timedelta(minutes=30), 1, 50.0))  # spike
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-23, -1)
+    scored = df.select(
+        "event_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    ).withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+    spike = scored.filter(F.col("event_id") == 99).collect()[0]
+    # prior-only frame: mu ≈ 10, sd ≈ 0.1 -> z enormous. An inclusive
+    # frame would fold the spike into mu/sd and shrink z drastically.
+    assert spike["n"] == 20
+    assert abs(spike["mu"] - 10.0) < 0.01
+    assert spike["z"] > 100
+
+
+# ---------------------------------------------------------------------------
+# source_schema_evolution: added column is NULL for old files only
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_null_pattern(spark):
+    df = plans.QUERIES["source_schema_evolution"](spark, SF)
+    bad_old = df.filter((F.col("v") == 1) & F.col("n_chars").isNotNull()).count()
+    bad_new = df.filter((F.col("v") == 2) & F.col("n_chars").isNull()).count()
+    assert bad_old == 0 and bad_new == 0
+    assert df.schema["v"].dataType.simpleString() == "int"
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_watermark: injected duplicates collapse
+# ---------------------------------------------------------------------------
+
+
+def test_stream_dedup_collapses_injected_duplicates(spark, tmp_path):
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "click", 1.0) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+    # the same 50 events written twice = exact duplicate arrivals
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "a"))
+    df.coalesce(1).write.mode("append").parquet(str(tmp_path / "a"))
+    from whisky_wine_etl_spark.streaming import pipelines as sp
+
+    s = sp.file_events_stream(spark, str(tmp_path / "a"))
+    deduped = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    out = sp.run_to_memory(spark, deduped, "append")
+    assert out.count() == 50
+    assert out.distinct().count() == 50

@@ -216,3 +216,75 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rk")
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    "repetitious text" filters), computed per document with ZERO
+    shuffles — every signal is an array-local expression over the
+    token array, so the plan is one map-only scan no matter the corpus
+    size (the reason these run as the FIRST gate in a 100 TB pipeline,
+    before anything that shuffles):
+
+    - dup_token_frac: fraction of token positions occupied by a repeat
+      of an earlier token (1 - distinct/total).
+    - top_bigram_frac: occurrences of the single most frequent bigram
+      over total bigram count. Computed without a groupBy: sort the
+      bigram array, then one `aggregate` pass tracks the longest equal
+      run — O(n log n) per row, no shuffle (an exploded groupBy would
+      shuffle the whole corpus's bigrams on content).
+    - dup_line_frac: fraction of 10-token lines that duplicate another
+      line of the SAME document (corpus_line_dedup handles the
+      cross-document case — that one genuinely needs the shuffle).
+    - keep: the composite gate (thresholds from the Gopher appendix,
+      adapted to the 10-token line grain).
+
+    All fractions are exact small-integer ratios, so both engines
+    compute bit-identical doubles and the 6-dp round is stable.
+    """
+    t = F.split(F.col(text_col), " ")
+    out = df.select(id_col, t.alias("__toks"))
+    n_tok = F.size(F.col("__toks"))
+    dup_tok = F.when(n_tok > 0, 1.0 - F.size(F.array_distinct("__toks")) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    # sequence(0, stop) DESCENDS when stop < 0, so the <2-token case is
+    # guarded to an empty array instead of relying on greatest(.., -1)
+    _bg = (
+        "IF(size(__toks) < 2, array(),"
+        " array_sort(transform(sequence(0, size(__toks) - 2),"
+        " i -> concat(__toks[i], ' ', __toks[i + 1]))))"
+    )
+    best_run = F.expr(
+        f"aggregate({_bg}, named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " (s, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(s.prev <=> x, s.run + 1, 1),"
+        "   'best', greatest(s.best, IF(s.prev <=> x, s.run + 1, 1))),"
+        " s -> s.best)"
+    )
+    n_bg = n_tok - 1
+    top_bigram = F.when(n_bg > 0, best_run / n_bg).otherwise(F.lit(0.0))
+    lines = F.expr(
+        "IF(size(__toks) < 1, array(),"
+        " transform(sequence(0, CAST(ceil(size(__toks) / 10.0) AS INT) - 1),"
+        " i -> array_join(slice(__toks, i * 10 + 1, 10), ' ')))"
+    )
+    n_lines = F.size(lines)
+    dup_line = F.when(n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    sig = out.select(
+        id_col,
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(top_bigram, 6).alias("top_bigram_frac"),
+        F.round(dup_line, 6).alias("dup_line_frac"),
+    )
+    return sig.withColumn(
+        "keep",
+        (F.col("dup_token_frac") <= 0.6)
+        & (F.col("top_bigram_frac") <= 0.18)
+        & (F.col("dup_line_frac") <= 0.3),
+    )

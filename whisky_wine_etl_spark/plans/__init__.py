@@ -28,3 +28,4 @@ def load_all() -> None:
     # registration order)
     from whisky_wine_etl_spark.plans import round3  # noqa: F401
     from whisky_wine_etl_spark.plans import round4  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4b  # noqa: F401
