@@ -217,3 +217,95 @@ def test_stream_dedup_collapses_injected_duplicates(spark, tmp_path):
     out = sp.run_to_memory(spark, deduped, "append")
     assert out.count() == 50
     assert out.distinct().count() == 50
+
+
+# ---------------------------------------------------------------------------
+# events_pattern_match: non-overlapping contiguous funnel counting
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_match_counts_non_overlapping_triples(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {
+        1: "vcpvcp",  # two complete funnels
+        2: "vvcp",    # one (extra leading view)
+        3: "vcvcp",   # only the second triple is contiguous
+        4: "pcv",     # reversed: none
+    }
+    rows = []
+    initial_to_type = {"v": "view", "c": "click", "p": "purchase"}
+    eid = 0
+    for uid, s in seqs.items():
+        for i, ch in enumerate(s):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), uid, initial_to_type[ch]))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    seq = (
+        df.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            ((F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("vcp")))) / 3)
+            .cast("bigint")
+            .alias("n"),
+        )
+        .collect()
+    )
+    got = {r["user_id"]: r["n"] for r in seq}
+    assert got == {1: 2, 2: 1, 3: 1, 4: 0}
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_classify: majority vote with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+def test_knn_vote_tie_breaks_to_smallest_label(spark):
+    # query vec 0; neighbors: two of label 7 and two of label 3 equally
+    # close, one far label 9 -> 2-2 vote among top-4 + 1 for 9; with
+    # k=5 the vote is 2 (label 3) vs 2 (label 7) vs 1 (label 9): tie
+    # between 3 and 7 must resolve to label 3.
+    import math
+
+    def unit(theta):
+        v = [0.0] * 8
+        v[0] = math.cos(theta)
+        v[1] = math.sin(theta)
+        return v
+
+    rows = [
+        (0, unit(0.0), 0),
+        (1, unit(0.05), 7),
+        (2, unit(-0.05), 7),
+        (3, unit(0.06), 3),
+        (4, unit(-0.06), 3),
+        (5, unit(1.5), 9),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from whisky_wine_etl_spark.operators import similarity as sim
+    from pyspark.sql import Window as W
+
+    topk = sim.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=5)
+    labels = df.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"))
+    votes = (
+        topk.join(labels, "cand_id")
+        .groupBy("query_id", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("cand_label"))
+    best = votes.withColumn("vr", F.row_number().over(wv)).filter(F.col("vr") == 1).collect()
+    assert len(best) == 1
+    assert best[0]["cand_label"] == 3
+    assert best[0]["n_votes"] == 2

@@ -354,3 +354,153 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return sp.run_to_memory(spark, deduped, "append")
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE-lite): each user's event
+# history becomes an ordered initial-string; a fixed funnel pattern is
+# counted with non-overlapping literal matching (replace-based, so
+# both engines count identically — no regex-engine semantics in play).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_pattern_match",
+    """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INT) AS seq_len,
+       CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS BIGINT)
+         AS n_funnels
+FROM s
+""",
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts completed view→click→purchase funnels as CONTIGUOUS
+    triples in each user's event-type sequence (the MATCH_RECOGNIZE
+    pattern-count shape). The sequence is built with the standard
+    Spark ordered-aggregation idiom — collect_list of (ts, event_id,
+    initial) structs, array_sort (struct ordering = field order), then
+    a transform+concat — one shuffle on user_id, per-user state ∝ that
+    user's history exactly like sessionization. Occurrences are
+    counted non-overlapping left-to-right via length-delta after
+    replace, which is engine-exact (no regex dialect involved)."""
+    e = _t(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"),
+                                F.col("event_id"),
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        ((F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("vcp")))) / 3)
+        .cast("bigint")
+        .alias("n_funnels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification over the labeled embeddings — composes the exact
+# brute-force top-k with a majority vote; the quality harness for any
+# ANN index swap (IVF/LSH give the same votes at high recall).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_knn_classify",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id, c.label AS cand_label,
+         ROUND(
+           SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE))
+           / (SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)))
+              * SQRT(SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)))),
+           6) AS cos6
+  FROM q
+  JOIN embeddings c ON c.vec_id <> q.query_id,
+       LATERAL (SELECT unnest(range(1, 65)) AS i) t(i)
+  GROUP BY q.query_id, c.vec_id, c.label
+),
+knn AS (
+  SELECT query_id, cand_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, cand_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, cand_label AS pred_label, COUNT(*) AS n_votes
+  FROM knn WHERE rk <= 5 GROUP BY query_id, cand_label
+),
+best AS (
+  SELECT query_id, pred_label, CAST(n_votes AS BIGINT) AS n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, pred_label) AS vr
+  FROM votes
+)
+SELECT b.query_id, b.pred_label, b.n_votes, q.true_label,
+       b.pred_label = q.true_label AS correct
+FROM best b JOIN q ON q.query_id = b.query_id
+WHERE vr = 1
+""",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification of every 50th embedding
+    against the rest: composes sim_topk_bruteforce's exact scorer with
+    a label join and a per-query vote (ties → smallest label, mirrored
+    in the oracle). The vote runs over k·|queries| rows — negligible
+    next to scoring — and scoring reuses the broadcast-queries shape,
+    so the corpus is scanned once with no shuffle of the corpus side.
+    At 100 TB the scorer swaps for sim_topk_ivf (same output contract);
+    this exact form stays as the recall/accuracy oracle."""
+    from whisky_wine_etl_spark.operators import similarity as sim
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = sim.brute_force_topk(emb, queries, k=5)
+    labels = emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"))
+    votes = (
+        topk.join(labels, "cand_id")
+        .groupBy("query_id", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    best = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("cand_label").alias("pred_label"), "n_votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(truth, "query_id").select(
+        "query_id",
+        "pred_label",
+        "n_votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
