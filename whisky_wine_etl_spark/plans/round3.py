@@ -1239,23 +1239,40 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     function both engines evaluate with ~1e-14 float-order noise,
     eight orders under the 6-dp grain on ×1000-scaled ranks."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    # pair generation per order WITHOUT a self-join: collect each
+    # order's (small, ~4-item) part basket once, emit its in-array
+    # combinations — one orderkey shuffle replaces the self-join's
+    # two-sided exchange. Basket size is bounded by order width, so
+    # the per-row combination work is O(k²) with tiny k; a genuinely
+    # huge basket would need the salting treatment, not this path.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("parts")
+    )
     e1 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts,"
+                    " x -> transform(filter(parts, y -> y > x),"
+                    " y -> named_struct('src', x, 'dst', y))))"
+                )
+            ).alias("e")
         )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .select("e.src", "e.dst")
         .distinct()
     )
     edges = (
         e1.unionAll(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    n_nodes = nodes.count()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    # the degree table IS the node set (every node has an edge), so
+    # nodes/n_nodes come from deg for free — no separate distinct
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
     # (src, dst, d): degree attached once and MATERIALIZED, hash-
     # partitioned on src — without the checkpoint each iteration
     # re-runs the edges⋈deg join (two edge-scale shuffles per round);
@@ -1264,21 +1281,18 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib_src = edges.join(
         deg.withColumnRenamed("node", "src"), "src"
     ).localCheckpoint(eager=True)
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(3):
-        contrib = (
+        # the symmetrized graph gives every node ≥1 incoming edge, so
+        # the contribution aggregate already covers ALL nodes — no
+        # nodes⋈contrib left join needed per round
+        ranks = (
             contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
             .select(
                 "node",
-                (
-                    F.lit(0.15 / n_nodes)
-                    + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("r"),
+                (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.col("c")).alias("r"),
             )
             .localCheckpoint(eager=True)
         )
