@@ -65,6 +65,9 @@ HEADLINE = [
     "table_time_travel",              # snapshot-table version read
     "graph_pagerank_copurchase",      # iterative pagerank (fixed rounds)
     "dedup_containment_capped",       # stop-shingle scale profile (vs uncapped row above)
+    "text_repetition_signals",        # zero-shuffle Gopher repetition gate
+    "events_pattern_match",           # ordered-seq funnel pattern count
+    "sim_knn_classify",               # brute-force kNN + majority vote
 ]
 
 

@@ -309,3 +309,77 @@ def test_knn_vote_tie_breaks_to_smallest_label(spark):
     assert len(best) == 1
     assert best[0]["cand_label"] == 3
     assert best[0]["n_votes"] == 2
+
+
+# ---------------------------------------------------------------------------
+# z-order layout: correctness of the curve + skipping benefit
+# ---------------------------------------------------------------------------
+
+
+def test_zvalue_matches_python_reference(spark):
+    from whisky_wine_etl_spark.functions.zorder import zvalue
+
+    def py_z(vals, bits):
+        z = 0
+        for d, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * len(vals) + d)
+        return z
+
+    rows = [(a, b) for a in [0, 1, 5, 1023, 700] for b in [0, 3, 512, 1023]]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", zvalue(F.col("a"), F.col("b"), bits=10).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == py_z([r["a"], r["b"]], 10), (r["a"], r["b"])
+
+
+def test_zvalue_interleaves_monotonically_per_dim(spark):
+    # fixing one dim, z is strictly increasing in the other
+    from whisky_wine_etl_spark.functions.zorder import zvalue
+
+    df = spark.createDataFrame([(i,) for i in range(64)], "a long")
+    zs = [
+        r["z"]
+        for r in df.select(zvalue(F.col("a"), F.lit(7), bits=10).alias("z"))
+        .orderBy("a")
+        .collect()
+    ]
+    assert zs == sorted(zs) and len(set(zs)) == 64
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Per-file value ranges under the z-order layout must be tighter
+    in BOTH dimensions than a ts-ordered (layout-agnostic) write —
+    the property footer-stats pruning depends on."""
+    import glob
+
+    from whisky_wine_etl_spark.functions.zorder import zorder_layout
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    lin_dir = str(tmp_path / "linear")
+    z_dir = str(tmp_path / "zorder")
+    ev.repartitionByRange(8, "ts").drop("ts").write.parquet(lin_dir)
+    zorder_layout(ev.drop("ts"), ["user_id", "value"], n_files=8).drop(
+        "__zval"
+    ).write.parquet(z_dir)
+
+    def avg_span(d, col):
+        spans = []
+        for f in glob.glob(d + "/part-*.parquet"):
+            mn, mx = (
+                spark.read.parquet(f)
+                .agg(F.min(col), F.max(col))
+                .collect()[0]
+            )
+            spans.append(float(mx) - float(mn))
+        return sum(spans) / len(spans)
+
+    # ts-ordered files see the FULL user_id/value range (events arrive
+    # interleaved); z-ordered files must cover well under half of it
+    assert avg_span(z_dir, "user_id") < 0.5 * avg_span(lin_dir, "user_id")
+    assert avg_span(z_dir, "value") < 0.75 * avg_span(lin_dir, "value")

@@ -504,3 +504,36 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout: multi-dimensional file clustering so
+# min/max stats prune on EVERY laid-out column (Delta/Iceberg
+# OPTIMIZE ZORDER, built from shiftleft/or — no UDF). Content is
+# layout-invariant, so the oracle hashes the projection; the skipping
+# benefit itself (per-file range tightness in both dimensions) is
+# asserted in tests/test_round4b_ops.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "layout_zorder_roundtrip",
+    "SELECT event_id, user_id, value FROM events",
+)
+def layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events re-clustered on the (user_id, value) Morton curve into 8
+    range-partitioned files and read back: a predicate on EITHER
+    column now prunes most files by footer min/max, where a
+    single-column sort only serves its own column. The z-value is a
+    pure shift/or expression inside whole-stage codegen
+    (functions/zorder.py); normalization stats are one broadcast
+    2-row aggregate, and the only shuffle is the range partitioner
+    itself — exactly the one a layout rewrite must pay."""
+    from whisky_wine_etl_spark.functions.zorder import zorder_layout
+
+    out_dir = _scratch_dir(spark, sf_dir, "zorder_events")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zorder_layout(ev, ["user_id", "value"], n_files=8).drop("__zval").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return spark.read.parquet(out_dir)
