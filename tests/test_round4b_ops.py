@@ -356,7 +356,7 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     the property footer-stats pruning depends on."""
     import glob
 
-    from whisky_wine_etl_spark.functions.zorder import zorder_layout
+    from whisky_wine_etl_spark.operators.layout import zorder_write
 
     ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
         "event_id", "user_id", "value", "ts"
@@ -364,9 +364,7 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     lin_dir = str(tmp_path / "linear")
     z_dir = str(tmp_path / "zorder")
     ev.repartitionByRange(8, "ts").drop("ts").write.parquet(lin_dir)
-    zorder_layout(ev.drop("ts"), ["user_id", "value"], n_files=8).drop(
-        "__zval"
-    ).write.parquet(z_dir)
+    zorder_write(ev.drop("ts"), ["user_id", "value"], z_dir, n_files=8)
 
     def avg_span(d, col):
         spans = []
@@ -383,3 +381,53 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     # interleaved); z-ordered files must cover well under half of it
     assert avg_span(z_dir, "user_id") < 0.5 * avg_span(lin_dir, "user_id")
     assert avg_span(z_dir, "value") < 0.75 * avg_span(lin_dir, "value")
+
+
+# ---------------------------------------------------------------------------
+# property-based: repetition_signals vs a pure-Python reference on
+# randomized token streams (small alphabet => lots of repeats)
+# ---------------------------------------------------------------------------
+
+
+def _py_repetition(tokens):
+    n = len(tokens)
+    dup_tok = 0.0 if n == 0 else 1.0 - len(set(tokens)) / n
+    bgs = [f"{tokens[i]} {tokens[i+1]}" for i in range(n - 1)]
+    if bgs:
+        from collections import Counter
+
+        top_bg = max(Counter(bgs).values()) / len(bgs)
+    else:
+        top_bg = 0.0
+    lines = [" ".join(tokens[i : i + 10]) for i in range(0, n, 10)]
+    dup_line = 0.0 if not lines else 1.0 - len(set(lines)) / len(lines)
+    return dup_tok, top_bg, dup_line
+
+
+def test_repetition_property_vs_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = ["aa", "bb", "cc", "dd"]
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(alphabet), min_size=1, max_size=35),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def inner(docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        for i, toks in enumerate(docs):
+            exp = _py_repetition(toks)
+            r = got[i]
+            for name, e in zip(
+                ["dup_token_frac", "top_bigram_frac", "dup_line_frac"], exp
+            ):
+                assert abs(r[name] - e) < 1e-6, (i, name, r[name], e, toks)
+
+    inner()

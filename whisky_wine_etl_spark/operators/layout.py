@@ -29,27 +29,26 @@ def zorder_key(
     sample or reuse table stats; boundaries need only be approximate
     for skipping to work). Pure integer arithmetic → whole-stage
     codegen, no UDF."""
+    from whisky_wine_etl_spark.functions.zorder import zvalue
+
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     n_b = 1 << bits
-    parts = []
-    for i, c in enumerate(cols):
+    buckets = []
+    for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
         width = (mx - mn) or 1.0
-        bucket = F.least(
-            F.lit(n_b - 1),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * n_b).cast("long"),
-        )
-        for b in range(bits):
-            parts.append(
-                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
+        buckets.append(
+            F.least(
+                F.lit(n_b - 1),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * n_b
+                ).cast("long"),
             )
-    key = parts[0]
-    for p in parts[1:]:
-        key = key + p
-    return key.alias("zkey")
+        )
+    return zvalue(*buckets, bits=bits).alias("zkey")
 
 
 def zorder_write(

@@ -526,14 +526,13 @@ def layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     column now prunes most files by footer min/max, where a
     single-column sort only serves its own column. The z-value is a
     pure shift/or expression inside whole-stage codegen
-    (functions/zorder.py); normalization stats are one broadcast
-    2-row aggregate, and the only shuffle is the range partitioner
+    (functions/zorder.py, applied by operators/layout.py zorder_write
+    — range-partition on the key, sort within files so row groups
+    tile the curve too); the only shuffle is the range partitioner
     itself — exactly the one a layout rewrite must pay."""
-    from whisky_wine_etl_spark.functions.zorder import zorder_layout
+    from whisky_wine_etl_spark.operators.layout import zorder_write
 
     out_dir = _scratch_dir(spark, sf_dir, "zorder_events")
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    zorder_layout(ev, ["user_id", "value"], n_files=8).drop("__zval").write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    zorder_write(ev, ["user_id", "value"], out_dir, n_files=8)
     return spark.read.parquet(out_dir)
