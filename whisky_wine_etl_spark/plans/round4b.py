@@ -536,3 +536,87 @@ def layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     zorder_write(ev, ["user_id", "value"], out_dir, n_files=8)
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (change data feed): the incremental-consumer contract
+# — "what changed between version N and M" — over the same
+# copy-on-write snapshot tables as table_time_travel/merge_publish.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_snapshot_diff",
+    """
+WITH v1 AS (SELECT doc_id, source, n_chars FROM documents),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, n_chars
+  FROM documents WHERE doc_id % 100 = 0
+)
+SELECT COALESCE(v2.doc_id, v1.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'insert'
+            WHEN v2.doc_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       COALESCE(v2.source, v1.source) AS source,
+       COALESCE(v2.n_chars, v1.n_chars) AS n_chars
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+   OR v1.n_chars <> v2.n_chars OR v1.source <> v2.source
+""",
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshot versions: v1 = base
+    documents, v2 = a merge that updates every 10th doc, deletes
+    doc_id % 7 = 3, and inserts every 100th under a shifted key. Both
+    versions are read back BY VERSION from the copy-on-write lineage
+    (sources/snapshots.py) and diffed with ONE full-outer join on the
+    key — insert/delete from one-sided presence, update from payload
+    inequality; unchanged rows drop out. Emits the post-image (pre-
+    image for deletes). This is what an incremental downstream
+    consumer reads instead of re-scanning the table — at 100 TB the
+    diff cost is one co-partitioned join of two versions, and with a
+    key-bucketed layout it is shuffle-free. The oracle recomputes
+    both versions' logical content from the base table."""
+    from whisky_wine_etl_spark.sources import snapshots as snap
+
+    table = _scratch_dir(spark, sf_dir, "cdf_table")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    if snap.current_version(table) is None:
+        v2 = (
+            docs.filter(F.col("doc_id") % 7 != 3)
+            .withColumn(
+                "n_chars",
+                F.when(F.col("doc_id") % 10 == 0, F.col("n_chars") + 1000).otherwise(
+                    F.col("n_chars")
+                ),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+                    "doc_id", F.col("doc_id") + 1000000
+                )
+            )
+        )
+        snap.write_snapshot(docs, table, mode="append")     # v1
+        snap.write_snapshot(v2, table, mode="overwrite")    # v2
+    old = snap.read_snapshot(spark, table, version=1).alias("a")
+    new = snap.read_snapshot(spark, table, version=2).alias("b")
+    j = old.join(new, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    changed = j.filter(
+        F.col("a.doc_id").isNull()
+        | F.col("b.doc_id").isNull()
+        | (F.col("a.n_chars") != F.col("b.n_chars"))
+        | (F.col("a.source") != F.col("b.source"))
+    )
+    return changed.select(
+        F.coalesce(F.col("b.doc_id"), F.col("a.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "insert")
+        .when(F.col("b.doc_id").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.coalesce(F.col("b.source"), F.col("a.source")).alias("source"),
+        F.coalesce(F.col("b.n_chars"), F.col("a.n_chars")).alias("n_chars"),
+    )
