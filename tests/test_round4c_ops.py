@@ -1,0 +1,242 @@
+"""Behavior/invariant tests for the round-4c operators: skyline,
+sweep-line concurrency, Welch t-test, BM25, EWMA, distributed
+k-means."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark import plans
+from whisky_wine_etl_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+plans.load_all()
+
+
+# ---------------------------------------------------------------------------
+# Skyline
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_no_frontier_point_dominated(spark):
+    """No returned point may be dominated by ANY part (the defining
+    property), and every non-returned size class must be dominated."""
+    front = plans.QUERIES["skyline_pareto_parts"](spark, SF).collect()
+    parts = load_table(spark, SF, "part").select(
+        "p_retailprice", "p_size"
+    ).collect()
+    assert front
+    for f in front:
+        for p in parts:
+            dominates = (
+                p.p_retailprice <= f.p_retailprice
+                and p.p_size >= f.p_size
+                and (p.p_retailprice < f.p_retailprice or p.p_size > f.p_size)
+            )
+            assert not dominates, (f, p)
+
+
+def test_skyline_handles_duplicate_points(spark):
+    """Exact (price, size) twins don't dominate each other: both stay
+    on the frontier."""
+    df = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_size=10, p_retailprice=5.0),
+            Row(p_partkey=2, p_size=10, p_retailprice=5.0),
+            Row(p_partkey=3, p_size=9, p_retailprice=6.0),  # dominated
+            Row(p_partkey=4, p_size=20, p_retailprice=7.0),
+        ]
+    )
+    import whisky_wine_etl_spark.plans.round4c as r4c
+
+    orig = r4c.load_table
+    try:
+        r4c.load_table = lambda spark, sf, name: df
+        got = {
+            r.p_partkey
+            for r in plans.QUERIES["skyline_pareto_parts"](spark, SF).collect()
+        }
+    finally:
+        r4c.load_table = orig
+    assert got == {1, 2, 4}
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_max_concurrency_half_open_intervals(spark):
+    """An interval ending exactly when another starts does NOT
+    overlap it ([t, t+30m) half-open), and nested intervals stack."""
+    rows = [
+        # type 'x': b starts exactly when a ends -> peak 1
+        Row(event_type="x", ts="2024-01-01 00:00:00"),
+        Row(event_type="x", ts="2024-01-01 00:30:00"),
+        # type 'y': three overlapping starts within 30m -> peak 3
+        Row(event_type="y", ts="2024-01-01 00:00:00"),
+        Row(event_type="y", ts="2024-01-01 00:10:00"),
+        Row(event_type="y", ts="2024-01-01 00:20:00"),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    import whisky_wine_etl_spark.plans.round4c as r4c
+
+    orig = r4c.load_table
+    try:
+        r4c.load_table = lambda spark, sf, name: df
+        got = {
+            r.event_type: (r.peak_concurrency, str(r.first_peak_at))
+            for r in plans.QUERIES["events_max_concurrency"](spark, SF).collect()
+        }
+    finally:
+        r4c.load_table = orig
+    assert got["x"] == (1, "2024-01-01 00:00:00")
+    assert got["y"] == (3, "2024-01-01 00:20:00")
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test
+# ---------------------------------------------------------------------------
+
+
+def test_welch_ttest_matches_direct_formula(spark):
+    """The aggregated statistics reproduce the textbook computation
+    on collected values."""
+    row = plans.QUERIES["stat_ab_welch_ttest"](spark, SF).collect()[0]
+    e = load_table(spark, SF, "events").select("event_type", "value").collect()
+    a = [r.value for r in e if r.event_type == "purchase"]
+    b = [r.value for r in e if r.event_type == "view"]
+
+    def var_samp(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    se2 = var_samp(a) / len(a) + var_samp(b) / len(b)
+    t = (sum(a) / len(a) - sum(b) / len(b)) / math.sqrt(se2)
+    df = se2**2 / (
+        (var_samp(a) / len(a)) ** 2 / (len(a) - 1)
+        + (var_samp(b) / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.t_stat - t) < 1e-5
+    assert abs(row.welch_df - df) < 1e-2
+    # Welch df is bounded by min(n)-1 below and n_a+n_b-2 above
+    assert min(len(a), len(b)) - 1 <= row.welch_df <= len(a) + len(b) - 2
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    out = plans.QUERIES["text_bm25_search"](spark, SF).collect()
+    assert 0 < len(out) <= 20
+    scores = [r.bm25 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_rewards_term_density(spark):
+    """A short doc that is mostly query terms outscores a long doc
+    with one occurrence (the dl/avgdl normalization at work)."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="join scan filter join"),
+            Row(doc_id=2, text="join " + " ".join(["pad"] * 60)),
+            Row(doc_id=3, text=" ".join(["pad"] * 10)),
+        ]
+    )
+    import whisky_wine_etl_spark.plans.round4c as r4c
+
+    orig = r4c.load_table
+    try:
+        r4c.load_table = lambda spark, sf, name: df
+        got = {r.doc_id: r.bm25 for r in plans.QUERIES["text_bm25_search"](spark, SF).collect()}
+    finally:
+        r4c.load_table = orig
+    assert set(got) == {1, 2}  # doc 3 matches nothing
+    assert got[1] > got[2]
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_closed_form_matches_recursion(spark):
+    """The windowed closed form equals the sequential recursion
+    y_n = α v_n + (1-α) y_{n-1} computed per user in Python."""
+    out = plans.QUERIES["ts_ewma_user"](spark, SF).collect()
+    e = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(e, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.value)
+    expect = {}
+    for uid, vals in by_user.items():
+        y = vals[0]
+        expect[(uid, 1)] = y
+        for i, v in enumerate(vals[1:64], start=2):
+            y = 0.2 * v + 0.8 * y
+            expect[(uid, i)] = y
+    assert len(out) == len(expect)
+    for r in out:
+        assert abs(r.ewma - expect[(r.user_id, r.rn)]) < 1e-6, r
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Distributed Lloyd's with lowest-id init reproduces the numpy
+    reference (same init, same iteration count) assignment for
+    assignment."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    k, n_iter = 8, 4
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            if (assign == j).any():
+                C[j] = X[assign == j].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    expect = dict(zip(ids.tolist(), d.argmin(axis=1).tolist()))
+
+    got = {
+        r.vec_id: r.cluster
+        for r in plans.QUERIES["sim_kmeans_lloyd"](spark, SF).collect()
+    }
+    mismatch = sum(1 for i in got if got[i] != expect[i])
+    # float32 Spark arrays vs float64 numpy may flip points sitting on
+    # a Voronoi boundary; require >=99% agreement and several clusters
+    assert mismatch <= len(got) * 0.01, mismatch
+    assert len(set(got.values())) >= 4
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark):
+    """More Lloyd iterations never worsen total inertia (monotone
+    convergence), on the real embeddings."""
+    from whisky_wine_etl_spark.operators.clustering import kmeans_fit_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    inertias = []
+    for it in (0, 2, 4):
+        out = kmeans_fit_assign(emb, "vec_id", "embedding", k=8, n_iter=it)
+        inertias.append(out.agg(F.sum("sq_dist")).collect()[0][0])
+    assert inertias[0] >= inertias[1] >= inertias[2] - 1e-6

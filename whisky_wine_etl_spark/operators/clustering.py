@@ -1,0 +1,96 @@
+"""Distributed Lloyd's k-means over an ArrayType(FloatType) column.
+
+The IVF index (operators/similarity.py) trains its codebook on a
+bounded driver-side sample; this module is the fully-distributed
+counterpart for when the clustering itself is the product (corpus
+bucketing, semantic sharding): every assignment and every centroid
+update runs on the executors, and the only driver traffic per
+iteration is the k×d centroid matrix (k·d floats, independent of the
+corpus size — the classic Lloyd's-on-MapReduce contract).
+
+Scale design:
+- Assignment is map-only: the k×d centroids are embedded in the plan
+  as array literals (k·d ≤ a few thousand floats), and the argmin is
+  a fold over `aggregate`/`zip_with` — whole-stage codegen, no Python.
+- The update step is one partial-aggregated groupBy of the
+  (cluster, dim) exploded pairs: each task pre-aggregates k·d partial
+  (sum, count) cells, so the shuffle is O(tasks · k · d), not O(rows).
+- Determinism: init picks the k lowest-id vectors (no RNG), iteration
+  count is fixed, and FP addition order inside avg() partials is the
+  only nondeterminism — bounded by a parity test vs numpy, not an
+  exact oracle (registered rows-only, like the other approx/iterative
+  ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
+    """Squared L2 distance between an array column and a literal
+    centroid, entirely in codegen: zip_with squared diffs, then a
+    sum fold."""
+    lit_arr = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(F.col(vec_col), lit_arr, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add `cluster` (argmin centroid) and `sq_dist` columns.
+
+    The argmin is `array_min` over (distance, index) structs — struct
+    ordering is lexicographic, so exact-equal distances tie toward the
+    lower cluster id. Each distance expression appears ONCE in the
+    plan (a chained `when` fold would duplicate subtrees
+    exponentially in k)."""
+    ds = F.array(
+        *[
+            F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(ds)
+    return (
+        df.withColumn("__best", best)
+        .withColumn("cluster", F.col("__best.i"))
+        .withColumn("sq_dist", F.col("__best.d"))
+        .drop("__best")
+    )
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Lloyd's k-means: deterministic lowest-id init, `n_iter` fixed
+    update rounds, returns (id_col, cluster, sq_dist) for every row.
+
+    Empty clusters keep their previous centroid (no reseeding — keeps
+    the procedure deterministic and restart-stable)."""
+    df = df.select(id_col, vec_col)
+    init_rows = df.orderBy(id_col).limit(k).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    for _ in range(n_iter):
+        assigned = kmeans_assign(df, vec_col, centroids)
+        # (cluster, dim) cells partial-aggregate inside each task: the
+        # shuffle carries O(partitions·k·d) cells, never O(rows).
+        cells = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in cells:
+            new_c[r["cluster"]][r["dim"]] = float(r["m"])
+        centroids = new_c
+
+    return kmeans_assign(df, vec_col, centroids).select(
+        id_col, "cluster", F.round("sq_dist", 4).alias("sq_dist")
+    )

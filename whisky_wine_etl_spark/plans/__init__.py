@@ -29,3 +29,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round3  # noqa: F401
     from whisky_wine_etl_spark.plans import round4  # noqa: F401
     from whisky_wine_etl_spark.plans import round4b  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4c  # noqa: F401

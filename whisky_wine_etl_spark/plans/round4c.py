@@ -1,0 +1,386 @@
+"""Round-4c additions: skyline (Pareto frontier), sweep-line peak
+concurrency, Welch's two-sample t-test, BM25 retrieval scoring,
+exponentially-weighted moving average, and fully-distributed Lloyd's
+k-means.
+
+Registered AFTER round4b (plans.load_all imports this module last) so
+the driver's unverified-first ordering keeps the earlier backlog in
+the front verification slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier — the "best tradeoff" operator (cheapest
+# price at every quality level). The naive formulation is an
+# all-pairs dominance anti-join (the oracle below); the engine plan
+# exploits the 2-D structure: dominance only depends on the per-size
+# MINIMUM price, so the frontier test collapses to a 50-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_pareto_parts",
+    """
+SELECT a.p_partkey, a.p_size, a.p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+""",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing p_retailprice while
+    maximizing p_size. A part is dominated iff some part is <= on
+    price and >= on size with one strict.
+
+    Scale plan: 2-D skyline needs no pairwise comparison — a point
+    survives iff (a) it has the min price of its size class and
+    (b) that price is strictly below the min price of EVERY larger
+    size (else the larger-size point dominates: size strictly
+    greater, price <=). So: one partial-aggregated groupBy down to
+    |distinct sizes| rows, an exclusive suffix-min window over that
+    tiny aggregate (single task over ≤ C rows, C = size cardinality,
+    never the fact table), and a broadcast join back. The oracle is
+    the O(n²) NOT EXISTS form — ground truth, not the plan."""
+    p = _t(spark, sf_dir, "part")
+    per_size = p.groupBy("p_size").agg(F.min("p_retailprice").alias("__mp"))
+    # exclusive suffix min over larger sizes; the window input is the
+    # size-cardinality aggregate (tiny), not the parts table
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_sizes = (
+        per_size.withColumn("__suf", F.min("__mp").over(w))
+        .filter(F.col("__suf").isNull() | (F.col("__mp") < F.col("__suf")))
+        .select("p_size", "__mp")
+    )
+    return (
+        p.join(F.broadcast(frontier_sizes), "p_size")
+        .filter(F.col("p_retailprice") == F.col("__mp"))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency — "max simultaneously-open sessions",
+# the interval-overlap aggregate behind capacity planning. Each event
+# opens a half-open 30-minute activity interval [ts, ts+30m).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_max_concurrency",
+    """
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events
+),
+run AS (
+  SELECT event_type, t,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS conc
+  FROM pts
+),
+pk AS (
+  SELECT event_type, t, conc,
+         MAX(conc) OVER (PARTITION BY event_type) AS peak
+  FROM run
+)
+SELECT event_type, CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       MIN(t) AS first_peak_at
+FROM pk WHERE conc = peak GROUP BY event_type
+""",
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic sweep line: every interval contributes a +1 point at
+    its start and a -1 at its end, the running sum of deltas ordered
+    by (time, delta) is the live concurrency, and the answer is its
+    max (+ the first instant it is reached).
+
+    Semantics pinned for engine parity: ordering by (t, delta) puts
+    closings before openings at equal timestamps (half-open
+    intervals), and BOTH engines use the default RANGE frame, so
+    tied points are peers sharing one cumulative value — the running
+    sum is well-defined regardless of physical tie order. The window
+    partitions on event_type; for a single giant key the two-pass
+    range-partitioned prefix-sum pattern (operators/corpus.py) is the
+    drop-in replacement, same semantics."""
+    e = _t(spark, sf_dir, "events")
+    opens = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    closes = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = opens.unionAll(closes)
+    w = Window.partitionBy("event_type").orderBy("t", "delta")  # RANGE default
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    wp = Window.partitionBy("event_type")
+    return (
+        run.withColumn("peak", F.max("conc").over(wp))
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.min("t").alias("first_peak_at"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance two-sample t-test — the A/B-test summary,
+# computed exactly from one conditional-aggregation pass (no join, no
+# second scan).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_ab_welch_ttest",
+    """
+SELECT
+  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_a,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_b,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'purchase'), 6) AS mean_a,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'view'), 6) AS mean_b,
+  ROUND(
+    (AVG(value) FILTER (WHERE event_type = 'purchase')
+     - AVG(value) FILTER (WHERE event_type = 'view'))
+    / sqrt(VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+             / COUNT(*) FILTER (WHERE event_type = 'purchase')
+           + VAR_SAMP(value) FILTER (WHERE event_type = 'view')
+             / COUNT(*) FILTER (WHERE event_type = 'view')), 6) AS t_stat,
+  ROUND(
+    POWER(VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+            / COUNT(*) FILTER (WHERE event_type = 'purchase')
+          + VAR_SAMP(value) FILTER (WHERE event_type = 'view')
+            / COUNT(*) FILTER (WHERE event_type = 'view'), 2)
+    / (POWER(VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+               / COUNT(*) FILTER (WHERE event_type = 'purchase'), 2)
+         / (COUNT(*) FILTER (WHERE event_type = 'purchase') - 1)
+       + POWER(VAR_SAMP(value) FILTER (WHERE event_type = 'view')
+                 / COUNT(*) FILTER (WHERE event_type = 'view'), 2)
+         / (COUNT(*) FILTER (WHERE event_type = 'view') - 1)), 4) AS welch_df
+FROM events
+WHERE event_type IN ('purchase', 'view')
+""",
+)
+def stat_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t over `value` for purchase (A) vs view (B) events:
+    t = (m̄_a − m̄_b) / √(s²_a/n_a + s²_b/n_b), df by
+    Welch–Satterthwaite. One filtered scan with conditional
+    aggregates — all six statistics partial-aggregate map-side, so
+    the shuffle is a single row per task regardless of input size."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    a = F.col("event_type") == "purchase"
+    b = F.col("event_type") == "view"
+
+    def cond(agg_fn, flag):
+        return agg_fn(F.when(flag, F.col("value")))
+
+    n_a = F.count(F.when(a, F.lit(1)))
+    n_b = F.count(F.when(b, F.lit(1)))
+    va_n = cond(F.var_samp, a) / n_a
+    vb_n = cond(F.var_samp, b) / n_b
+    return e.agg(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.round(cond(F.avg, a), 6).alias("mean_a"),
+        F.round(cond(F.avg, b), 6).alias("mean_b"),
+        F.round(
+            (cond(F.avg, a) - cond(F.avg, b)) / F.sqrt(va_n + vb_n), 6
+        ).alias("t_stat"),
+        F.round(
+            F.pow(va_n + vb_n, 2)
+            / (F.pow(va_n, 2) / (n_a - 1) + F.pow(vb_n, 2) / (n_b - 1)),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval — the lexical-search scorer every RAG /
+# training-data pipeline keeps next to its embeddings. Fixed query
+# terms, Okapi BM25 with k1=1.2, b=0.75.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "scan", "filter")
+
+
+@query(
+    "text_bm25_search",
+    """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+d AS (SELECT doc_id, len(tk) AS dl FROM tk),
+s AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+  WHERE t IN ('join', 'scan', 'filter')
+  GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         SUM(ln(1 + (s.n_docs - dfq.dfc + 0.5) / (dfq.dfc + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN d USING (doc_id)
+  CROSS JOIN s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM sc
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 against a fixed 3-term query.
+
+    Plan shape: tokenize once; per-(doc, term) tf is an exploded
+    groupBy that partial-aggregates map-side AFTER the isin filter
+    (only query-term tokens survive the explode, so the shuffle
+    carries ≤ |terms| rows per doc); document frequency and the
+    (N, avgdl) scalars are tiny broadcast sides; the top-k is
+    TakeOrderedAndProject on the ROUNDED score (both engines order by
+    the same rounded value + doc_id, so the LIMIT boundary is
+    deterministic across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).withColumn("dl", F.size("tk"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average — the smoothing/decay
+# primitive (pandas ewm(adjust=False) semantics), expressed as a
+# closed-form prefix sum instead of a sequential fold.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ewma_user",
+    """
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+c AS (SELECT * FROM r WHERE rn <= 64),
+p AS (
+  SELECT user_id, rn,
+         FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY rn) AS v1,
+         SUM(value * POWER(0.8, -rn)) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+  FROM c
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn,
+       ROUND(POWER(0.8, rn) * (0.2 * pre + v1), 6) AS ewma
+FROM p
+""",
+)
+def ts_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.2, recursive y_n = α·v_n + (1−α)·y_{n−1}, y_1 = v_1)
+    over each user's first 64 events.
+
+    The recursion unrolls to the closed form
+    y_n = q^n · (α·P_n + v_1) with q = 1−α and the prefix sum
+    P_n = Σ_{k≤n} q^{−k} v_k — so the whole series is ONE keyed
+    running-sum window (no sequential UDF, no collect_list). The
+    64-row cap bounds q^{−rn} at q^{−64} ≈ 1.6e6, keeping the
+    rescaled prefix far from double overflow; for unbounded series
+    the same identity applies per fixed-size segment (carry y across
+    segment boundaries). Both engines accumulate the prefix in
+    ascending rn order, so the rounded values agree."""
+    e = _t(spark, sf_dir, "events")
+    alpha, q = 0.2, 0.8
+    wrn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        e.select(
+            "user_id", "value", F.row_number().over(wrn).alias("rn")
+        ).filter(F.col("rn") <= 64)
+    )
+    wu = Window.partitionBy("user_id").orderBy("rn")
+    wrun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = c.select(
+        "user_id",
+        "rn",
+        F.first("value").over(wu).alias("v1"),
+        F.sum(F.col("value") * F.pow(F.lit(q), -F.col("rn"))).over(wrun).alias("pre"),
+    )
+    return p.select(
+        "user_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.round(
+            F.pow(F.lit(q), F.col("rn")) * (alpha * F.col("pre") + F.col("v1")), 6
+        ).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means — iterative clustering where every
+# assignment and centroid update runs on the executors; per-iteration
+# driver traffic is the k×d centroid matrix only. Rows-only driver
+# check (iterative FP, like pagerank); numpy parity is pinned in
+# tests/test_round4c_ops.py.
+# ---------------------------------------------------------------------------
+
+
+@query("sim_kmeans_lloyd")
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 Lloyd's over embeddings: deterministic lowest-vec_id init,
+    4 fixed update rounds (see operators/clustering.py for the scale
+    contract: map-only assignment via literal centroids, centroid
+    update as a partial-aggregated (cluster, dim) groupBy)."""
+    from whisky_wine_etl_spark.operators.clustering import kmeans_fit_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, "vec_id", "embedding", k=8, n_iter=4)
