@@ -240,3 +240,100 @@ def test_kmeans_iterations_do_not_increase_inertia(spark):
         out = kmeans_fit_assign(emb, "vec_id", "embedding", k=8, n_iter=it)
         inertias.append(out.agg(F.sum("sq_dist")).collect()[0][0])
     assert inertias[0] >= inertias[1] >= inertias[2] - 1e-6
+
+
+# ---------------------------------------------------------------------------
+# RFM
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_are_balanced_quartiles(spark):
+    out = plans.QUERIES["stat_rfm_segments"](spark, SF).collect()
+    n = len(out)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, col) for r in out]
+        assert set(vals) <= {1, 2, 3, 4}
+        # ntile keeps bucket sizes within 1 of each other
+        from collections import Counter
+
+        sizes = Counter(vals).values()
+        assert max(sizes) - min(sizes) <= 1
+    # higher m_score must mean higher (or equal at the boundary) spend
+    by_score = {}
+    for r in out:
+        by_score.setdefault(r.m_score, []).append(r.monetary)
+    for lo, hi in ((1, 2), (2, 3), (3, 4)):
+        assert max(by_score[lo]) <= min(by_score[hi]) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Association rules
+# ---------------------------------------------------------------------------
+
+
+def test_assoc_rules_metric_invariants(spark):
+    out = plans.QUERIES["assoc_rules_lift"](spark, SF).collect()
+    assert 0 < len(out) <= 100
+    for r in out:
+        assert r.n_both >= 3
+        assert 0 < r.support <= r.confidence <= 1 + 1e-9
+        assert r.lift > 0
+    lifts = [r.lift for r in out]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_assoc_rules_lift_is_symmetric(spark):
+    """lift(A→B) == lift(B→A) by definition; check on pairs where
+    both directions made the top-100 cut."""
+    out = plans.QUERIES["assoc_rules_lift"](spark, SF).collect()
+    lift = {(r.antecedent, r.consequent): r.lift for r in out}
+    both = [(a, b) for (a, b) in lift if (b, a) in lift]
+    assert both, "expected at least one symmetric pair in top-100"
+    for a, b in both:
+        assert abs(lift[(a, b)] - lift[(b, a)]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Benford
+# ---------------------------------------------------------------------------
+
+
+def test_benford_profile_shape(spark):
+    out = plans.QUERIES["stat_benford_digits"](spark, SF).collect()
+    assert {r.digit for r in out} <= set(range(1, 10))
+    assert abs(sum(r.obs_frac for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert abs(r.benford_frac - math.log10(1 + 1 / r.digit)) < 1e-6
+    total = sum(r.n for r in out)
+    import pyspark.sql.functions as SF_
+
+    orders = load_table(spark, SF, "orders").filter(SF_.col("o_totalprice") > 0)
+    assert total == orders.count()
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hashing_preserves_token_mass(spark):
+    """Bucket counts sum to the total non-empty token count, and all
+    buckets land in [0, 64)."""
+    out = plans.QUERIES["text_feature_hashing"](spark, SF).collect()
+    assert all(0 <= r.feat_idx < 64 for r in out)
+    docs = load_table(spark, SF, "documents")
+    n_tokens = (
+        docs.select(
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.n for r in out) == n_tokens
+    # same term must always land in the same bucket: per-doc bucket
+    # count never exceeds 64
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in out)
+    assert max(per_doc.values()) <= 64

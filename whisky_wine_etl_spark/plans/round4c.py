@@ -384,3 +384,273 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_fit_assign(emb, "vec_id", "embedding", k=8, n_iter=4)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic customer-scoring rollup (recency /
+# frequency / monetary quartiles). Quartile assignment is ntile(4)
+# with a FULLY deterministic sort (metric, then custkey) so both
+# engines place ties identically.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_rfm_segments",
+    """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)), (SELECT maxd FROM mx))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary,
+       CAST(NTILE(4) OVER (ORDER BY recency_days DESC, o_custkey) AS INT) AS r_score,
+       CAST(NTILE(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+       CAST(NTILE(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
+FROM rfm
+""",
+)
+def stat_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer recency (days since last order, vs the corpus max
+    date), frequency, monetary; each scored 1-4 by ntile quartile
+    where 4 = best (most recent / most frequent / highest spend).
+
+    Scale notes: the per-customer rollup partial-aggregates map-side;
+    the corpus max date is a 1-row broadcast. The three ntile windows
+    are global-sort single-task over the CUSTOMER aggregate (one row
+    per customer, not per order) — the standard caveat applies and is
+    acceptable for a scoring table; an approx-quantile bucketing
+    (percentile thresholds broadcast, then a map-only CASE) is the
+    drop-in at 1e9 customers. Ties are pinned by (metric, custkey) so
+    ntile is engine-deterministic. Monetary is rounded to cents
+    BEFORE scoring so the sort key itself is fp-stable."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "lastd").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over order baskets — support / confidence / lift
+# for directional part pairs, reusing the self-join-free in-basket
+# pair generation (see graph_pagerank_copurchase).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "assoc_rules_lift",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY 1),
+pr AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent, COUNT(*) AS n_both
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT pr.antecedent, pr.consequent, CAST(pr.n_both AS BIGINT) AS n_both,
+         ROUND(pr.n_both * 1.0 / n.n_orders, 6) AS support,
+         ROUND(pr.n_both * 1.0 / ia.n_item, 6) AS confidence,
+         ROUND(pr.n_both * 1.0 * n.n_orders / (ia.n_item * ib.n_item), 6) AS lift
+  FROM pr
+  JOIN ic ia ON ia.l_partkey = pr.antecedent
+  JOIN ic ib ON ib.l_partkey = pr.consequent
+  CROSS JOIN n
+  WHERE pr.n_both >= 3
+)
+SELECT * FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 100
+""",
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules A→B with exact support, confidence, and
+    lift; min co-occurrence 3, top-100 by lift.
+
+    Scale plan: pairs come from per-order basket arrays (one
+    orderkey shuffle, O(k²) in-array combination work with tiny
+    basket k — never a fact-fact self-join); item counts and the
+    order-count scalar are broadcast sides; the top-k is
+    TakeOrderedAndProject on the ROUNDED lift + pair key, so the
+    LIMIT boundary is engine-deterministic. All three metrics are
+    ratios of exact integers (bit-stable after 6-dp round)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts,"
+                    " x -> transform(filter(parts, y -> y != x),"
+                    " y -> named_struct('antecedent', x, 'consequent', y))))"
+                )
+            ).alias("e")
+        )
+        .select("e.antecedent", "e.consequent")
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ia = item_counts.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_b")
+    )
+    r = (
+        pairs.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ib), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_both") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return r.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile — the forensic data-quality screen for
+# fabricated numeric columns. Digit extraction goes through integer
+# formatting (floor → bigint → string), never log10, so fp rounding
+# can't misclassify boundary values like 1000.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_benford_digits",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / t.total, 6) AS obs_frac,
+       ROUND(log10(1 + 1.0 / digit), 6) AS benford_frac
+FROM c CROSS JOIN t
+""",
+)
+def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed vs Benford-expected first-significant-digit
+    distribution of order totals. One partial-aggregated scan down to
+    ≤ 9 digit groups; the grand total joins back as a 1-row
+    broadcast. (TPC-H-ish totals are sums of uniform prices, so the
+    screen correctly reports a NON-Benford profile — the point of the
+    operator is the measurement, not the law.)"""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("obs_frac"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — bag-of-words to a fixed
+# 64-bucket sparse count vector without a vocabulary pass. The bucket
+# hash is derived from md5 (identical in both engines), so the oracle
+# is exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_feature_hashing",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+h AS (
+  SELECT doc_id,
+         (ascii(substr(md5(term), 1, 1)) * 256
+          + ascii(substr(md5(term), 2, 1))) % 64 AS feat_idx
+  FROM tok WHERE term <> ''
+)
+SELECT doc_id, CAST(feat_idx AS INT) AS feat_idx, CAST(COUNT(*) AS BIGINT) AS n
+FROM h GROUP BY doc_id, feat_idx
+""",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hashed bag-of-words: term → bucket in [0, 64) via the
+    first two md5 hex chars (engine-portable, unlike xxhash64), then
+    per-(doc, bucket) counts. No vocabulary table, no global state —
+    the featurizer is a single map+partial-agg pass whose output is
+    bounded by 64 rows per document regardless of vocabulary size,
+    which is exactly why the hashing trick scales where a dictionary
+    join does not."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    h = tok.select(
+        "doc_id",
+        (
+            (
+                F.ascii(F.substring(F.md5("term"), 1, 1)) * 256
+                + F.ascii(F.substring(F.md5("term"), 2, 1))
+            )
+            % 64
+        )
+        .cast("int")
+        .alias("feat_idx"),
+    )
+    return h.groupBy("doc_id", "feat_idx").agg(F.count(F.lit(1)).alias("n"))
