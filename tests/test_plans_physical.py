@@ -488,3 +488,76 @@ def test_anomaly_zscore_single_keyed_window_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_skyline_aggregates_then_broadcasts_back(spark):
+    """The Pareto frontier never compares part pairs: the plan is one
+    partial-agg'd groupBy to the size-cardinality aggregate, a window
+    over that tiny frame, and a BROADCAST join back to the fact scan
+    (with price/size null-filters pushed into parquet)."""
+    df = plans.QUERIES["skyline_pareto_parts"](spark, SF)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan
+    assert "PushedFilters: [IsNotNull(p_retailprice), IsNotNull(p_size)]" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_broadcasts_stats_and_stays_jvm(spark):
+    """BM25's doc-frequency (≤ |terms| rows) and (N, avgdl) scalars
+    join as broadcasts; the top-k is TakeOrderedAndProject, not a
+    global sort; no Python evaluation anywhere."""
+    df = plans.QUERIES["text_bm25_search"](spark, SF)
+    plan = _formatted(df)
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_assoc_rules_single_fact_shuffle_for_pairs(spark):
+    """Basket pair generation folds the per-order dedup into the
+    collect_set aggregate: exactly ONE exchange keyed on l_orderkey
+    touches fact-table-scale data; item counts and the order count
+    are broadcast; top-k is TakeOrderedAndProject."""
+    df = plans.QUERIES["assoc_rules_lift"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(l_orderkey") == 0  # pre-checkpointed
+    assert "Scan ExistingRDD" in plan  # consumers read the materialized baskets
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ewma_single_keyed_window_pass(spark):
+    """The EWMA closed form is one user-keyed sort: row_number,
+    first_value, and the running prefix sum all share the same
+    (user_id) window partitioning — exactly one exchange."""
+    df = plans.QUERIES["ts_ewma_user"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_welch_ttest_single_pass_partial_agg(spark):
+    """All six statistics come from ONE conditional-aggregation scan
+    with map-side partials — no self-join of per-group aggregates."""
+    df = plans.QUERIES["stat_ab_welch_ttest"](spark, SF)
+    plan = _formatted(df)
+    assert "partial_count" in plan or "partial_avg" in plan
+    assert "Join" not in plan
+    # the IN-list predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_kmeans_assignment_is_codegen_only(spark):
+    """The k-means assignment stage (literal centroids) contains no
+    Python evaluation — distances fold inside whole-stage codegen."""
+    from whisky_wine_etl_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids = [[0.0] * 64, [1.0] * 64]
+    df = kmeans_assign(emb, "embedding", centroids)
+    plan = _formatted(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -1238,15 +1238,17 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass term; fixed iteration count makes the computation a pure
     function both engines evaluate with ~1e-14 float-order noise,
     eight orders under the 6-dp grain on ×1000-scaled ranks."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # pair generation per order WITHOUT a self-join: collect each
     # order's (small, ~4-item) part basket once, emit its in-array
     # combinations — one orderkey shuffle replaces the self-join's
     # two-sided exchange. Basket size is bounded by order width, so
     # the per-row combination work is O(k²) with tiny k; a genuinely
     # huge basket would need the salting treatment, not this path.
+    # collect_set (not distinct + collect_list) folds the per-order
+    # dedup into the SAME shuffle — one fact-table exchange, not two.
     baskets = li.groupBy("l_orderkey").agg(
-        F.collect_list("l_partkey").alias("parts")
+        F.collect_set("l_partkey").alias("parts")
     )
     e1 = (
         baskets.select(
@@ -1282,7 +1284,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.withColumnRenamed("node", "src"), "src"
     ).localCheckpoint(eager=True)
     ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
-    for _ in range(3):
+    for it in range(3):
         # the symmetrized graph gives every node ≥1 incoming edge, so
         # the contribution aggregate already covers ALL nodes — no
         # nodes⋈contrib left join needed per round
@@ -1294,8 +1296,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.col("c")).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        if it < 2:
+            # cut lineage between rounds; the LAST round's result is
+            # consumed exactly once by the caller, so materializing it
+            # here would only add a pass
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("l_partkey"),
         F.round(F.col("r") * 1000, 6).alias("pagerank_x1000"),

@@ -506,14 +506,21 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject on the ROUNDED lift + pair key, so the
     LIMIT boundary is engine-deterministic. All three metrics are
     ratios of exact integers (bit-stable after 6-dp round)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
-    )
-    item_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE fact-table shuffle: collect_set folds the per-order dedup
+    # into the basket aggregate, and the materialized baskets feed
+    # the order count, the item counts, AND the pair generation —
+    # without the checkpoint each consumer would re-run the scan and
+    # the orderkey exchange (lazy plans don't share subtrees across
+    # branches until runtime exchange reuse, which the three
+    # different downstream shapes here defeat).
     baskets = li.groupBy("l_orderkey").agg(
-        F.collect_list("l_partkey").alias("parts")
-    )
+        F.collect_set("l_partkey").alias("parts")
+    ).localCheckpoint(eager=True)
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item_counts = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     pairs = (
         baskets.select(
             F.explode(
