@@ -68,6 +68,10 @@ HEADLINE = [
     "text_repetition_signals",        # zero-shuffle Gopher repetition gate
     "events_pattern_match",           # ordered-seq funnel pattern count
     "sim_knn_classify",               # brute-force kNN + majority vote
+    "assoc_rules_lift",               # basket rules on one fact shuffle
+    "sim_kmeans_lloyd",               # iterative Lloyd's (codegen assignment)
+    "text_bm25_search",               # BM25 top-k with broadcast stats
+    "sim_pca_project",                # partial-Gram PCA + codegen projection
 ]
 
 

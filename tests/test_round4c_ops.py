@@ -337,3 +337,99 @@ def test_feature_hashing_preserves_token_mass(spark):
 
     per_doc = Counter(r.doc_id for r in out)
     assert max(per_doc.values()) <= 64
+
+
+# ---------------------------------------------------------------------------
+# Robust means
+# ---------------------------------------------------------------------------
+
+
+def test_trimmed_winsorized_bounded_by_extremes(spark):
+    """Robust means sit inside [p10, p90]; winsorized uses ALL rows,
+    trimmed only the interior — and both equal the plain mean on
+    outlier-free uniform data only approximately (sanity ordering)."""
+    out = plans.QUERIES["agg_trimmed_winsorized"](spark, SF).collect()
+    assert len(out) >= 1
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(r.l_extendedprice)
+    for r in out:
+        xs = sorted(groups[r.l_returnflag])
+        assert r.n_rows == len(xs)
+        assert xs[0] <= r.mean_trimmed <= xs[-1]
+        assert xs[0] <= r.mean_winsorized <= xs[-1]
+        # direct recomputation of the winsorized mean via numpy
+        p10 = round(float(np.percentile(xs, 10)), 6)
+        p90 = round(float(np.percentile(xs, 90)), 6)
+        wmean = float(np.mean(np.clip(xs, p10, p90)))
+        assert abs(r.mean_winsorized - wmean) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Chi-square
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_matches_direct_contingency(spark):
+    out = plans.QUERIES["stat_chi2_independence"](spark, SF).collect()[0]
+    rows = load_table(spark, SF, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    from collections import Counter
+
+    cells = Counter((r.o_orderstatus, r.o_orderpriority) for r in rows)
+    ra = Counter(a for (a, _), n in cells.items() for _ in range(n))
+    rb = Counter(b for (_, b), n in cells.items() for _ in range(n))
+    total = sum(cells.values())
+    chi2 = sum(
+        (n - ra[a] * rb[b] / total) ** 2 / (ra[a] * rb[b] / total)
+        for (a, b), n in cells.items()
+    )
+    assert out.n == total
+    assert out.dof == (len(ra) - 1) * (len(rb) - 1)
+    assert abs(out.chi2 - chi2) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed partial-Gram PCA reproduces numpy's full-batch
+    projection (same sign convention) within float tolerance."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:4]].T
+    for j in range(4):
+        if comps[j][np.abs(comps[j]).argmax()] < 0:
+            comps[j] = -comps[j]
+    expect = (X - mu) @ comps.T
+
+    got = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+        for r in plans.QUERIES["sim_pca_project"](spark, SF).collect()
+    }
+    ids = [r.vec_id for r in rows]
+    err = max(
+        abs(got[i][j] - expect[k][j])
+        for k, i in enumerate(ids)
+        for j in range(4)
+    )
+    assert err < 1e-2, err
+
+
+def test_pca_components_capture_descending_variance(spark):
+    out = plans.QUERIES["sim_pca_project"](spark, SF).collect()
+    cols = np.array([[r.pc1, r.pc2, r.pc3, r.pc4] for r in out])
+    vs = cols.var(axis=0, ddof=1)
+    assert vs[0] >= vs[1] >= vs[2] >= vs[3] > 0

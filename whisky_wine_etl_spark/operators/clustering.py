@@ -94,3 +94,69 @@ def kmeans_fit_assign(
     return kmeans_assign(df, vec_col, centroids).select(
         id_col, "cluster", F.round("sq_dist", 4).alias("sq_dist")
     )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Principal-component projection of an ArrayType(FloatType)
+    column onto its top-`k` components.
+
+    Scale contract (same shape as Lloyd's above): the covariance
+    estimate is assembled from PER-PARTITION partial (n, Σx, ΣxxT)
+    sums computed in one Arrow-batched mapInPandas pass — driver
+    traffic is O(partitions · d²) floats, independent of row count;
+    the d×d eigendecomposition runs on the driver (d is the embedding
+    width, ≤ a few thousand — NOT data-scale); the projection itself
+    is a map-only fold over literal component vectors in whole-stage
+    codegen. Eigenvector sign is fixed by making each component's
+    largest-|coordinate| entry positive, so the output is
+    deterministic up to float summation order (parity-tested vs
+    numpy, registered rows-only like the other iterative/FP ops)."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(df.select(vec_col).first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts], axis=0)
+    g = np.sum([p["g"] for p in parts], axis=0).reshape(d, d)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:k]].T  # (k, d), descending variance
+    for j in range(k):
+        i_max = int(np.abs(comps[j]).argmax())
+        if comps[j][i_max] < 0:
+            comps[j] = -comps[j]
+
+    cols = [F.col(id_col)]
+    for j in range(k):
+        lit_c = F.array(*[F.lit(float(x)) for x in comps[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        center = float(np.dot(mu, comps[j]))
+        cols.append(F.round(dot - F.lit(center), 4).alias(f"pc{j + 1}"))
+    return df.select(*cols)

@@ -661,3 +661,133 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("feat_idx"),
     )
     return h.groupBy("doc_id", "feat_idx").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Robust aggregates — trimmed and winsorized means per group: the
+# outlier-resistant location estimates a metrics pipeline reports
+# next to the plain mean.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_trimmed_winsorized",
+    """
+WITH th AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.1), 6) AS p10,
+         ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(AVG(l.l_extendedprice), 4) AS mean_all,
+       ROUND(AVG(CASE WHEN l.l_extendedprice BETWEEN th.p10 AND th.p90
+                      THEN l.l_extendedprice END), 4) AS mean_trimmed,
+       ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, th.p10), th.p90)), 4)
+         AS mean_winsorized
+FROM lineitem l JOIN th USING (l_returnflag)
+GROUP BY l.l_returnflag
+""",
+)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and p10/p90-winsorized means of extended price per
+    return flag. Two passes by necessity (thresholds are
+    order statistics): pass 1 partial-aggregates the exact percentile
+    per group (|groups| rows), which broadcasts back into a second
+    conditional-aggregate scan. Thresholds are rounded to 6 dp on
+    BOTH sides before clipping so a 1-ulp interpolation difference
+    between engines cannot flip a boundary row's membership."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    th = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.1), 6).alias("p10"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90"),
+    )
+    j = li.join(F.broadcast(th), "l_returnflag")
+    x = F.col("l_extendedprice")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(x), 4).alias("mean_all"),
+        F.round(
+            F.avg(F.when((x >= F.col("p10")) & (x <= F.col("p90")), x)), 4
+        ).alias("mean_trimmed"),
+        F.round(
+            F.avg(F.least(F.greatest(x, F.col("p10")), F.col("p90"))), 4
+        ).alias("mean_winsorized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence — are order status and priority
+# associated? Exact integer contingency table, closed-form statistic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_chi2_independence",
+    """
+WITH c AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY a),
+rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY b),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT CAST(t.total AS BIGINT) AS n,
+       CAST((COUNT(DISTINCT c.a) - 1) * (COUNT(DISTINCT c.b) - 1) AS BIGINT)
+         AS dof,
+       ROUND(SUM(POWER(c.n - ra.na * 1.0 * rb.nb / t.total, 2)
+                 / (ra.na * 1.0 * rb.nb / t.total)), 6) AS chi2
+FROM c JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t
+GROUP BY t.total
+""",
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square over the o_orderstatus × o_orderpriority
+    contingency table. The fact scan partial-aggregates straight down
+    to the |statuses|·|priorities| cell table; marginals and the
+    grand total derive from those cells (tiny broadcast joins), so
+    the data-scale work is exactly one groupBy. Cells and marginals
+    are exact integers → the statistic is bit-stable at 6 dp."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ra = c.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = c.groupBy("b").agg(F.sum("n").alias("nb"))
+    t = c.agg(F.sum("n").alias("total"))
+    j = (
+        c.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(t))
+    )
+    exp = F.col("na") * F.col("nb") / F.col("total")
+    return j.groupBy("total").agg(
+        F.countDistinct("a").alias("__ka"),
+        F.countDistinct("b").alias("__kb"),
+        F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 6).alias("chi2"),
+    ).select(
+        F.col("total").cast("long").alias("n"),
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1)).cast("long").alias("dof"),
+        "chi2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection — embedding analytics beside k-means: top-4
+# principal components of the 64-d embedding corpus. Rows-only driver
+# check (eigenvectors are FP-iterative territory); numpy parity is
+# pinned in tests.
+# ---------------------------------------------------------------------------
+
+
+@query("sim_pca_project")
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the corpus's top-4 principal
+    components (see operators/clustering.py pca_project for the scale
+    contract: one mapInPandas partial-Gram pass, driver-side d×d
+    eigh, codegen-only projection)."""
+    from whisky_wine_etl_spark.operators.clustering import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, "vec_id", "embedding", k=4)
