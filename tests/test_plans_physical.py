@@ -561,3 +561,65 @@ def test_kmeans_assignment_is_codegen_only(spark):
     plan = _formatted(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ohlc_single_partial_agg_no_window(spark):
+    """OHLC bars are ONE partial-aggregatable groupBy: min_by/max_by
+    carry open/close, so no per-bucket window sort exists and the
+    only data exchange is the aggregation shuffle."""
+    df = plans.QUERIES["ts_resample_ohlc"](spark, SF)
+    plan = _formatted(df)
+    assert "Window" not in plan
+    assert "partial_min_by" in plan  # map-side combine carries open/close
+    assert "BatchEvalPython" not in plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_geo_harmonic_single_scan_partial_agg(spark):
+    df = plans.QUERIES["agg_geo_harmonic_means"](spark, SF)
+    plan = _formatted(df)
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_avg" in plan
+    assert "PushedFilters" in plan and "GreaterThan(l_extendedprice" in plan
+
+
+def test_mutual_information_scans_orders_once(spark):
+    """Marginals and entropies derive from the checkpointed
+    contingency table — the orders parquet is scanned exactly once
+    (at checkpoint build), never by the returned plan."""
+    df = plans.QUERIES["stat_mutual_information"](spark, SF)
+    plan = _formatted(df)
+    assert "orders.parquet" not in plan  # all inputs are the tiny checkpoint
+    assert "BatchEvalPython" not in plan
+
+
+def test_er_blocking_no_cartesian(spark):
+    """Both ER passes join on the block key — the planner must pick a
+    hash join with the < predicate as a post-join filter, never a
+    cartesian/nested-loop over the segment."""
+    df = plans.QUERIES["er_blocked_fuzzy_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_distinct_single_keyed_window(spark):
+    """One exchange on user_id; the frame is a RANGE spec over
+    unix_micros, evaluated without Python."""
+    df = plans.QUERIES["window_rolling_distinct"](spark, SF)
+    plan = _formatted(df)
+    assert "RangeFrame, -86400000000" in plan  # microsecond frame bound
+    assert "BatchEvalPython" not in plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_mann_whitney_no_global_window(spark):
+    """The rank reconstruction windows over __pid partitions (range
+    partitioning), never a single-partition global sort; the only
+    SinglePartition exchange is the final scalar aggregate."""
+    df = plans.QUERIES["stat_mann_whitney_u"](spark, SF)
+    plan = _formatted(df)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
