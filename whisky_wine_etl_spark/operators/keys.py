@@ -55,3 +55,47 @@ def add_surrogate_key(
         .withColumn(key_col, (F.row_number().over(w) + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
+
+
+def add_running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "running_total",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global cumulative sum of `sum_col` in `order_cols` order with
+    the same two-pass shape as add_surrogate_key: range shuffle,
+    per-partition running sums (parallel), O(partitions) driver
+    prefix of the partition totals. `inclusive=False` gives the
+    exclusive prefix (total strictly BEFORE each row) — the form
+    rank/ECDF reconstructions need."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ranged.groupBy("__pid").agg(F.sum(sum_col).alias("__t")).orderBy("__pid").collect()
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += r["__t"]
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    upper = 0 if inclusive else -1
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, upper)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            F.col("__off") + F.coalesce(F.sum(sum_col).over(w), F.lit(0)),
+        )
+        .drop("__pid", "__off")
+    )
