@@ -623,3 +623,47 @@ def test_mann_whitney_no_global_window(spark):
     plan = _formatted(df)
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_mad_outliers_broadcasts_median_maps(spark):
+    """Both median maps are 5-row frames joined back by broadcast
+    (the dev frame is rebuilt in the MAD branch — a cheap map-side
+    join beats caching the fact); everything stays JVM-side with
+    partial aggregation."""
+    df = plans.QUERIES["stat_mad_outliers"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cusum_windows_over_hourly_aggregate_only(spark):
+    """The running totals window over the range-partitioned hourly
+    aggregate (≤ #hours rows) — no SinglePartition exchange anywhere
+    and no window over raw events."""
+    df = plans.QUERIES["ts_cusum_rate_drift"](spark, SF)
+    plan = _formatted(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decay_score_single_shuffle_partial_agg(spark):
+    """One hash exchange (user_id) with map-side partial aggregation;
+    the max-timestamp scalar arrives by broadcast, not collect."""
+    df = plans.QUERIES["events_decay_score"](spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Exchange hashpartitioning") == 1
+    plan = _formatted(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_k_anonymity_rollup_expands_with_partial_agg(spark):
+    """The ROLLUP runs as one Expand + aggregate with partial
+    combine; the per-class frame re-aggregates without re-reading
+    the customer scan."""
+    df = plans.QUERIES["privacy_k_anonymity"](spark, SF)
+    plan = _formatted(df)
+    assert "Expand" in plan
+    assert plan.count("customer.parquet") == 1
+    assert "BatchEvalPython" not in plan

@@ -33,3 +33,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4d  # noqa: F401
     from whisky_wine_etl_spark.plans import round4e  # noqa: F401
     from whisky_wine_etl_spark.plans import round4f  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4g  # noqa: F401
