@@ -667,3 +667,56 @@ def test_k_anonymity_rollup_expands_with_partial_agg(spark):
     assert "Expand" in plan
     assert plan.count("customer.parquet") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_clustering_coeff_reuses_persisted_edges(spark):
+    """Degrees, triangles, and per-node counts all read the ONE
+    persisted edge list — five InMemoryTableScans (deg×2, tri×3), so
+    the quadratic edge build runs exactly once. (The parquet path
+    still appears in the plan text as the InMemoryRelation's cached
+    recipe — only the InMemoryTableScan nodes execute.)"""
+    df = plans.QUERIES["graph_clustering_coeff"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 5
+    spark.catalog.clearCache()
+
+
+def test_centroid_affinity_single_corpus_pass(spark):
+    """The embeddings parquet feeds exactly one explode+aggregate
+    (the persisted centroid frame); pair join and norms run on the
+    640-row cache with the norm maps broadcast."""
+    df = plans.QUERIES["sim_centroid_affinity"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3  # x, y, and the norm build
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
+    spark.catalog.clearCache()
+
+
+def test_funnel_latency_pushes_type_filters_to_scan(spark):
+    """Both event-type filters reach the parquet scan as pushed
+    predicates; the user join is a co-partitioned hash join, not a
+    broadcast of an SF-scaled side."""
+    df = plans.QUERIES["events_funnel_latency"](spark, SF)
+    plan = _formatted(df)
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_candidate_pass_is_map_only(spark):
+    """Pass 1 (MapInPandas) runs with NO exchange beneath it — the MG
+    candidate generation never shuffles the fact; the recount joins
+    the candidate set by broadcast."""
+    df = plans.QUERIES["agg_heavy_hitters_mg"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # candidate pass reads the scan directly — no exchange below it
+    below_map = plan[plan.index("MapInPandas"):]
+    first_scan = below_map.index("FileScan")
+    assert "Exchange" not in below_map[:first_scan]
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    # only the candidate distinct + the recount groupBy shuffle (tiny
+    # candidate set / counted candidates), never the fact
+    assert plan.count("Exchange hashpartitioning") == 2

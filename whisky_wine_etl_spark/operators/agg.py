@@ -105,3 +105,75 @@ def salted_join(
         (l_s[left_key] == r_s[right_key]) & (l_s["__lsalt"] == r_s["__rsalt"]),
     )
     return joined.drop(l_s["__lsalt"]).drop(r_s["__rsalt"])
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    threshold_den: int,
+    mg_counters: int | None = None,
+) -> DataFrame:
+    """Exact frequent items with count > n/threshold_den, found with
+    bounded memory via the two-pass Misra–Gries pattern:
+
+    Pass 1 (map-only, NO shuffle): each partition runs a Misra–Gries
+    summary with `mg_counters` counters over its local rows and emits
+    its surviving candidates. MG guarantees any item with local count
+    > local_n/(k+1) survives locally; since an item with GLOBAL count
+    > n/threshold_den must exceed that local density in at least one
+    partition (pigeonhole), the union of per-partition candidates is
+    a SUPERSET of the true heavy hitters whenever
+    k + 1 >= threshold_den.
+
+    Pass 2: exact recount of candidates only — broadcast the (tiny,
+    ≤ k·partitions rows) candidate set into the fact scan as a semi
+    join, one partial-aggregated groupBy over surviving rows, filter
+    by the exact global threshold. Result is EXACT and deterministic;
+    memory is O(k) per task in pass 1 and O(candidates) thereafter,
+    never O(distinct items) — the property that matters when the
+    vocabulary itself doesn't fit anywhere.
+
+    Returns (item, cnt, n_total) with cnt > n_total/threshold_den.
+    """
+    import pandas as pd
+
+    k = mg_counters or 2 * threshold_den
+    if k + 1 < threshold_den:
+        raise ValueError(
+            f"mg_counters={k} too small for threshold 1/{threshold_den}: "
+            "the superset guarantee needs k+1 >= threshold_den"
+        )
+
+    def mg_partition(batches):
+        # Batch-merge form (Agarwal et al., "Mergeable Summaries"):
+        # fold each Arrow batch's exact value_counts into the summary,
+        # then trim back to ≤ k entries by subtracting the (k+1)-th
+        # largest weight from all and dropping non-positives — the
+        # merge preserves the n/(k+1) undercount bound, so the
+        # superset guarantee holds exactly as for row-at-a-time MG,
+        # while the per-row work stays vectorized in C.
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - kth for v, c in counters.items() if c > kth}
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    vals = df.select(F.col(col).alias(col))
+    cands = (
+        vals.mapInPandas(mg_partition, schema="item string")
+        .distinct()
+    )
+    tot = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    counted = (
+        vals.join(F.broadcast(cands), vals[col] == cands["item"], "inner")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * threshold_den > F.col("n_total"))
+        .select("item", "cnt", "n_total")
+    )

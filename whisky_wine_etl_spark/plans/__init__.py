@@ -34,3 +34,5 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4e  # noqa: F401
     from whisky_wine_etl_spark.plans import round4f  # noqa: F401
     from whisky_wine_etl_spark.plans import round4g  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4h  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4i  # noqa: F401

@@ -135,6 +135,102 @@ def multibatch_landing(spark: SparkSession, sf_dir: str, n_files: int = 3) -> st
     return dest
 
 
+def multibatch_landing_with_sentinel(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> str:
+    """multibatch_landing plus one far-future SENTINEL file (one
+    signup + one purchase at 2099-01-01, user_id = −1), mtime-last so
+    it forms the final micro-batch. Processing it advances BOTH
+    streams' watermarks decades past the real data, which makes the
+    stream-stream OUTER join flush every still-unmatched real row
+    from state — without it, unmatched rows younger than
+    (final watermark − horizon) would be silently withheld and the
+    result would not equal the batch left join. Consumers must drop
+    user_id < 0 rows."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = multibatch_landing(spark, sf_dir, n_files=n_files)
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "sg_multibatch_sent_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + "_"
+        + hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:10],
+    )
+    if not os.path.isdir(dest) or not glob.glob(os.path.join(dest, "part-*.parquet")):
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest)
+        files = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+        for f in files:
+            shutil.copy2(f, os.path.join(dest, os.path.basename(f)))
+        sent = spark.createDataFrame(
+            [
+                (-1, "2099-01-01 00:00:00", -1, "signup", 0.0),
+                (-2, "2099-01-01 00:00:01", -1, "purchase", 0.0),
+            ],
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+        sent.coalesce(1).write.mode("overwrite").parquet(dest + "_tmp")
+        [sf] = glob.glob(os.path.join(dest + "_tmp", "part-*.parquet"))
+        sent_path = os.path.join(dest, "part-zz-sentinel.parquet")
+        shutil.move(sf, sent_path)
+        shutil.rmtree(dest + "_tmp", ignore_errors=True)
+        # keep the copied files' staggered mtimes; pin the sentinel last
+        base = 1_700_000_000
+        os.utime(sent_path, (base + 3600, base + 3600))
+    return dest
+
+
+def stream_stream_left_outer(events: DataFrame, horizon_sec: int = 3600) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every signup emits — joined to
+    each purchase by the same user within `horizon_sec`, or once with
+    NULLs if no purchase ever arrives in the horizon. Same
+    state-bounding contract as the inner form (watermarks both sides
+    + time-range condition), plus the outer-specific rule: an
+    unmatched signup is emitted only when the watermark passes
+    signup_ts + horizon — proof no matching purchase can still
+    arrive. That makes NULL rows exactly as final as matches, so
+    append mode stays correct; it also means results for the newest
+    signups are withheld until the watermark clears them (the
+    sentinel batch in multibatch_landing_with_sentinel)."""
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+    ).withWatermark("signup_ts", "10 minutes")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", "10 minutes")
+    j = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("signup_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        ),
+        "leftOuter",
+    )
+    return j.select(
+        "signup_event_id",
+        "user_id",
+        (F.col("purchase_ts").cast("long") - F.col("signup_ts").cast("long")).alias(
+            "dt_sec"
+        ),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
