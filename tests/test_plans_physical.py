@@ -720,3 +720,26 @@ def test_heavy_hitters_candidate_pass_is_map_only(spark):
     # only the candidate distinct + the recount groupBy shuffle (tiny
     # candidate set / counted candidates), never the fact
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bfs_rounds_join_frontier_not_visited(spark):
+    """The returned BFS frame is a union of localCheckpointed
+    per-round RDD scans — lineage truncated, no parquet rescan, no
+    Python, and every per-round driver exchange is just the O(1)
+    count."""
+    df = plans.QUERIES["graph_bfs_distance"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
+    assert "BatchEvalPython" not in plan
+    spark.catalog.clearCache()
+
+
+def test_zipf_ranks_without_global_sort(spark):
+    """Ranking windows over __pid range partitions (two-pass running
+    count); the only SinglePartition exchange is the final 1-row
+    regression aggregate."""
+    df = plans.QUERIES["text_zipf_fit"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BatchEvalPython" not in plan
