@@ -743,3 +743,36 @@ def test_zipf_ranks_without_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange SinglePartition") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_ols_two_scans_all_partial_agg(spark):
+    """Means pass + moments pass: the lineitem scan appears exactly
+    twice, both aggregates have map-side partials, the means arrive
+    by broadcast — no window, no Python, no data-sized join."""
+    df = plans.QUERIES["ml_ols_normal_eq"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 2
+    assert "partial_avg" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row means
+    assert "BatchEvalPython" not in plan
+
+
+def test_capped_sessions_single_user_exchange(spark):
+    """All three windows and the final aggregate run off ONE user_id
+    hash exchange — refining the partition key to (user, gap_no)
+    must not re-shuffle."""
+    df = plans.QUERIES["events_sessionize_capped"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_dynamic_pivot_compiles_to_single_pass_agg(spark):
+    """After value discovery, the pivot compiles to the two-stage
+    aggregate (pre-agg on (key, pivot-col), then pivotfirst on the
+    key) — both with map-side partials, and no join anywhere."""
+    df = plans.QUERIES["pivot_dynamic_priority"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "pivotfirst" in plan and "partial_pivotfirst" in plan
