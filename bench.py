@@ -72,6 +72,10 @@ HEADLINE = [
     "sim_kmeans_lloyd",               # iterative Lloyd's (codegen assignment)
     "text_bm25_search",               # BM25 top-k with broadcast stats
     "sim_pca_project",                # partial-Gram PCA + codegen projection
+    "agg_heavy_hitters_mg",           # bounded-memory MG candidates + exact recount
+    "stream_left_outer_attribution",  # watermarked stream-stream outer join
+    "graph_bfs_distance",             # iterative frontier BFS
+    "ml_ols_normal_eq",               # two-pass closed-form OLS fit
 ]
 
 

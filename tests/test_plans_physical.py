@@ -776,3 +776,27 @@ def test_dynamic_pivot_compiles_to_single_pass_agg(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
     assert "pivotfirst" in plan and "partial_pivotfirst" in plan
+
+
+def test_anova_two_fact_passes_broadcast_means(spark):
+    """The checkpointed 5-row mean map broadcasts back into the SSW
+    pass — the returned plan scans the fact exactly once (SSW); gm
+    and ssb run off the checkpoint RDD."""
+    df = plans.QUERIES["stat_anova_oneway"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cuped_single_fact_scan_three_aggregates(spark):
+    """The per-user frame is checkpointed once; θ and the per-arm
+    readout both consume the checkpoint, so the returned plan never
+    re-reads the events parquet."""
+    df = plans.QUERIES["stat_ab_cuped"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan

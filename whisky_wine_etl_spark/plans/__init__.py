@@ -38,3 +38,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4i  # noqa: F401
     from whisky_wine_etl_spark.plans import round4j  # noqa: F401
     from whisky_wine_etl_spark.plans import round4k  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4l  # noqa: F401
