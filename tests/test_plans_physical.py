@@ -800,3 +800,16 @@ def test_cuped_single_fact_scan_three_aggregates(spark):
     assert plan.count("FileScan parquet") == 0
     assert "Scan ExistingRDD" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_phash_pairs_banded_join_no_cartesian(spark):
+    """Candidate generation joins on (band, value) buckets — a hash
+    join over the checkpointed hash frame; no cartesian/nested-loop
+    pair enumeration anywhere, and the exact verify is JVM bitwise
+    work (no Python beyond the decode stage)."""
+    df = plans.QUERIES["mm_image_phash_dedup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan  # hashes pre-checkpointed; pairs pure JVM
+    assert "BatchEvalPython" not in plan

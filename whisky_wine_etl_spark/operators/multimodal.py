@@ -347,3 +347,99 @@ def audio_features(mm: DataFrame) -> DataFrame:
             )
 
     return mm.select("doc_id", "payload").mapInPandas(extract, schema=out_schema)
+
+
+def image_ahash_bands(images: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of each image, returned as four
+    16-bit bands: decode the payload (BMP/PPM via the real codecs),
+    grayscale = channel-sum // 3, nearest-neighbor downsample to the
+    8×8 aHash grid with the same floor(i·w/8) index arithmetic as
+    resize_payload_real, bit k (= row·8 + col) set when
+    64·gray > Σgray (the integer-exact form of gray > mean). Bands
+    b0..b3 carry bits [16k, 16k+16) so the whole hash stays inside
+    signed ints and band-equality doubles as the LSH bucket key:
+    hamming(h1, h2) ≤ 3 forces at least one of the four bands equal
+    (pigeonhole), which makes banded candidate generation EXACT for
+    a ≤3 threshold, not heuristic.
+
+    Runs as Arrow-batched mapInPandas — decode + hash are per-item
+    numpy work; everything downstream (band join, XOR popcount) is
+    JVM-side."""
+    out_schema = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+    root = _package_root()
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        from whisky_wine_etl_spark.operators.multimodal import _decode_image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = _decode_image(bytes(payload)).astype(np.int64)
+                gray = px.sum(axis=2) // 3
+                h, w = gray.shape
+                ix = (np.arange(8, dtype=np.int64) * w) // 8
+                iy = (np.arange(8, dtype=np.int64) * h) // 8
+                g8 = gray[iy][:, ix]
+                s = int(g8.sum())
+                bits = (g8 * 64 > s).flatten()
+                bands = [0, 0, 0, 0]
+                for k, bit in enumerate(bits.tolist()):
+                    if bit:
+                        bands[k // 16] |= 1 << (k % 16)
+                rows.append((int(doc_id), *bands))
+            yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+    return images.select("doc_id", "payload").mapInPandas(hash_batches, schema=out_schema)
+
+
+def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance: explode
+    each hash into its (band_idx, band_value) buckets, self-join on
+    bucket equality (the LSH candidate step — complete, not
+    probabilistic, for max_hamming ≤ 3 with 4 bands), distinct the
+    candidate pairs, then one exact XOR-popcount verification per
+    pair. Candidate volume is bounded by bucket occupancy, never
+    |corpus|²; the all-pairs form exists only in the oracle."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding is only exact for max_hamming <= 3 "
+            f"(got {max_hamming}); add bands for larger radii"
+        )
+    h = hashes.select("doc_id", "b0", "b1", "b2", "b3")
+    buckets = h.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("val"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.val")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = h.select(*[F.col(c).alias(f"{c}_a") for c in h.columns])
+    hb = h.select(*[F.col(c).alias(f"{c}_b") for c in h.columns])
+    ham = sum(
+        F.bit_count(F.col(f"b{i}_a").bitwiseXOR(F.col(f"b{i}_b"))) for i in range(4)
+    )
+    return (
+        cand.join(ha, cand.doc_a == ha.doc_id_a)
+        .join(hb, cand.doc_b == hb.doc_id_b)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

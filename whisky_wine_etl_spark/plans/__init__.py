@@ -39,3 +39,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4j  # noqa: F401
     from whisky_wine_etl_spark.plans import round4k  # noqa: F401
     from whisky_wine_etl_spark.plans import round4l  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4m  # noqa: F401
