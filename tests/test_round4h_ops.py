@@ -37,7 +37,8 @@ def test_clustering_coeff_triangle_plus_tail(spark, monkeypatch):
     assert out[1].coeff == 1.0 and out[1].degree == 2 and out[1].n_tri == 1
     assert out[2].coeff == 1.0
     assert out[3].degree == 3 and out[3].n_tri == 1
-    assert out[3].coeff == pytest.approx(2 * 1 / (3 * 2), abs=1e-9)
+    # coeff is emitted rounded to 6 dp (oracle-parity contract)
+    assert out[3].coeff == pytest.approx(round(2 * 1 / (3 * 2), 6), abs=1e-9)
 
 
 def test_clustering_coeff_consistent_with_triangle_census(spark):
