@@ -76,6 +76,11 @@ HEADLINE = [
     "stream_left_outer_attribution",  # watermarked stream-stream outer join
     "graph_bfs_distance",             # iterative frontier BFS
     "ml_ols_normal_eq",               # two-pass closed-form OLS fit
+    "sim_sparse_cosine_join",         # inverted-index tf-idf cosine pairs
+    "join_interval_overlap",          # binned interval-interval join
+    "events_multitouch_attribution",  # U-shaped credit over binned lookbacks
+    "graph_kcore",                    # iterative degree-peel (3 rounds)
+    "ml_naive_bayes_lang",            # join/agg-only NB train + classify
 ]
 
 
