@@ -81,6 +81,11 @@ HEADLINE = [
     "events_multitouch_attribution",  # U-shaped credit over binned lookbacks
     "graph_kcore",                    # iterative degree-peel (3 rounds)
     "ml_naive_bayes_lang",            # join/agg-only NB train + classify
+    "ml_logistic_newton",             # 3 unrolled Newton steps, scan-per-step
+    "stat_bootstrap_poisson",         # 64-replicate deterministic bootstrap
+    "stat_kendall_tau_daily",         # calendar-bounded pairwise tau
+    "geo_haversine_nearest",          # broadcast NN geo join
+    "window_cumulative_product",      # log-space product window
 ]
 
 
