@@ -86,6 +86,10 @@ HEADLINE = [
     "stat_kendall_tau_daily",         # calendar-bounded pairwise tau
     "geo_haversine_nearest",          # broadcast NN geo join
     "window_cumulative_product",      # log-space product window
+    "ml_decision_stump",              # histogram split finding
+    "graph_jaccard_neighbors",        # inverted-index neighborhood sim
+    "stat_kaplan_meier",              # survival over bounded durations
+    "source_binaryfile_stats",        # whole-file binary ingestion
 ]
 
 
