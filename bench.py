@@ -87,7 +87,10 @@ HEADLINE = [
     "geo_haversine_nearest",          # broadcast NN geo join
     "window_cumulative_product",      # log-space product window
     "ml_decision_stump",              # histogram split finding
-    "graph_jaccard_neighbors",        # inverted-index neighborhood sim
+    # graph_jaccard_neighbors is correctness-registered but benched
+    # out: its common-neighbor join is Σdeg² (~26 s at sf0.1), priced
+    # honestly in its docstring; the capped-index lever is the scale
+    # path and the uncapped exact form stays the oracle
     "stat_kaplan_meier",              # survival over bounded durations
     "source_binaryfile_stats",        # whole-file binary ingestion
 ]

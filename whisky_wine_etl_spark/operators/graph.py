@@ -1,0 +1,49 @@
+"""Graph primitives shared by the graph_* query plans.
+
+The co-purchase edge builder exists because four iterative graph
+queries (BFS, k-core, pagerank, neighborhood Jaccard) all start from
+"parts that appear in the same order". The naive form is a fact-table
+self-join on orderkey — TWO shuffles of lineitem plus a join whose
+output is quadratic per order before the distinct. The basket form
+here pays ONE orderkey shuffle (groupBy + collect_set folds the
+per-order dedup into the same exchange) and emits each order's
+in-array pair combinations directly; per-row work is O(k²) with k =
+basket width (~4 here, bounded by order size), which is the right
+trade at any SF. A pathologically wide basket would need the salting
+treatment, not this path — callers inherit that caveat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(li: DataFrame, *, both_directions: bool = False) -> DataFrame:
+    """Distinct undirected co-purchase edges (pa < pb) from a
+    lineitem projection with columns (l_orderkey, l_partkey).
+
+    With ``both_directions=True`` the symmetric closure is returned
+    as (src, dst) — the shape the message-passing loops join against
+    so each round needs ONE join instead of a forward + backward
+    pair.
+    """
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    e1 = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts,"
+                    " x -> transform(filter(parts, y -> y > x),"
+                    " y -> named_struct('pa', x, 'pb', y))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .distinct()
+    )
+    if not both_directions:
+        return e1
+    return e1.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(e1.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))

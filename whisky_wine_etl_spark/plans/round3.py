@@ -897,19 +897,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement is degree orientation (point edges low→high degree,
     bounding the middle join by arboricity) — id order suffices on
     this corpus and keeps the oracle textually identical."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-        .persist()
-    )
+    from whisky_wine_etl_spark.operators.graph import copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE orderkey shuffle (basket emission, operators/graph.py) — no
+    # fact-table self-join
+    e = copurchase_edges(li).persist()
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = ab.join(bc, F.col("ab.pb") == F.col("bc.pa")).join(
         ac,

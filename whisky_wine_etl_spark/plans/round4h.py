@@ -74,18 +74,11 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's Σd(v)² cost is bounded by degree orientation (point edges
     low→high degree) — id order suffices on this corpus and keeps
     the oracle textually identical."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-        .persist()
-    )
+    from whisky_wine_etl_spark.operators.graph import copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE orderkey shuffle (basket emission, operators/graph.py)
+    e = copurchase_edges(li).persist()
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionAll(e.select(F.col("pb").alias("node")))

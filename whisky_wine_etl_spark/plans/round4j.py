@@ -51,35 +51,31 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth-first shortest-path distance (≤ 4 hops) from the
     minimum-id part to every reachable part in the co-purchase graph,
     by distributed frontier expansion: each round joins the CURRENT
-    frontier (not the visited set) to the edge list in both
-    directions, anti-joins the visited set, and localCheckpoints to
-    truncate lineage — the per-round work is O(frontier adjacency),
-    the classic Pregel BFS shape. Driver traffic per round is one
+    frontier (not the visited set) to the symmetric edge closure,
+    anti-joins the visited set, and localCheckpoints to truncate
+    lineage — the per-round work is O(frontier adjacency), the
+    classic Pregel BFS shape. Edges come from the shared basket
+    builder (operators/graph.py: one orderkey shuffle, no fact-table
+    self-join). Driver traffic per round is one
     O(1) count (the loop-termination check). The oracle is DuckDB's
     recursive CTE, which explores (node, dist) pairs — ground truth,
     not a scale plan."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-        .persist()
-    )
+    from whisky_wine_etl_spark.operators.graph import copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # symmetric closure via ONE orderkey shuffle (basket combination
+    # emission, operators/graph.py) — each round then needs a single
+    # frontier⋈edges join instead of a forward + backward pair
+    e = copurchase_edges(li, both_directions=True).localCheckpoint(eager=True)
     # O(1) driver scalar: the BFS source
-    src = e.agg(F.min("pa")).collect()[0][0]
+    src = e.agg(F.min("src")).collect()[0][0]
     spark_ = li.sparkSession
     frontier = spark_.createDataFrame([(src,)], "node long").localCheckpoint(eager=True)
     visited = frontier.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     for d in range(1, 5):
-        fwd = frontier.join(e, frontier.node == e.pa).select(F.col("pb").alias("node"))
-        bwd = frontier.join(e, frontier.node == e.pb).select(F.col("pa").alias("node"))
         new = (
-            fwd.unionAll(bwd)
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .localCheckpoint(eager=True)
@@ -91,7 +87,6 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         frontier = new
-    e.unpersist()
     return visited.select("node", F.col("dist").cast("int").alias("dist"))
 
 

@@ -361,18 +361,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast scalar, never a driver-side constant baked into
     the plan. The oracle unrolls the identical 3 rounds as nested
     CTEs; degrees are exact integers so parity is bit-exact."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    from whisky_wine_etl_spark.operators.graph import copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE orderkey shuffle (basket combination emission) instead of a
+    # fact-table self-join — see operators/graph.py
+    e = copurchase_edges(li).localCheckpoint(eager=True)
 
     def degrees(edges: DataFrame) -> DataFrame:
         ends = edges.select(F.col("pa").alias("node")).unionAll(

@@ -350,18 +350,23 @@ common AS (
   GROUP BY a.src, b.src
 ),
 j AS (
-  SELECT u, v, ROUND(c / (du.d + dv.d - c), 6) AS jaccard
+  SELECT u, v, c / (du.d + dv.d - c) AS jac
   FROM common
   JOIN deg du ON du.node = u
   JOIN deg dv ON dv.node = v
+),
+r AS (
+  SELECT u, v, jac, ROW_NUMBER() OVER (ORDER BY jac DESC, u, v) AS rk FROM j
 )
-SELECT u AS part_a, v AS part_b, jaccard
-FROM j WHERE jaccard >= 0.4
+SELECT u AS part_a, v AS part_b, ROUND(jac, 6) AS jaccard
+FROM r WHERE rk <= 50
 """,
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Part pairs whose co-purchase neighborhoods overlap with
-    Jaccard >= 0.4. Edges come from per-order baskets (in-array
+    """Top-50 part pairs by co-purchase neighborhood Jaccard
+    (deterministic (jac, u, v) ordering; the unrounded ratio of exact
+    integer counts is a single IEEE division, so the rank is
+    engine-stable). Edges come from per-order baskets (in-array
     combination emission — one orderkey shuffle, no self-join;
     basket size is order-width-bounded), candidate pairs from the
     edge⋈edge join on the shared neighbor — work is Σ deg(n)² over
@@ -370,24 +375,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated) as the shingle dedup family. Degrees join in by node;
     Jaccard = c/(da+db-c) on exact integer counts. The oracle
     reaches the identical edge set through a relational self-join."""
+    from whisky_wine_etl_spark.operators.graph import copurchase_edges
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
-    e1 = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts,"
-                    " x -> transform(filter(parts, y -> y > x),"
-                    " y -> named_struct('src', x, 'dst', y))))"
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-    )
-    edges = e1.unionAll(
-        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = copurchase_edges(li, both_directions=True)
     edges.persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("d")
@@ -404,14 +395,23 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(du, "u")
         .join(dv, "v")
         .select(
-            F.col("u").alias("part_a"),
-            F.col("v").alias("part_b"),
-            F.round(
-                F.col("c") / (F.col("du") + F.col("dv") - F.col("c")), 6
-            ).alias("jaccard"),
+            "u",
+            "v",
+            (F.col("c") / (F.col("du") + F.col("dv") - F.col("c"))).alias("jac"),
         )
     )
-    return j.where(F.col("jaccard") >= 0.4)
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # top-50 then a 50-row driver merge, never a global sort (a
+    # row_number window here would funnel all pairs into one task)
+    return (
+        j.orderBy(F.desc("jac"), "u", "v")
+        .limit(50)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.round("jac", 6).alias("jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
