@@ -813,3 +813,65 @@ def test_phash_pairs_banded_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan  # hashes pre-checkpointed; pairs pure JVM
     assert "BatchEvalPython" not in plan
+
+
+def test_logistic_newton_broadcasts_betas_each_step(spark):
+    """Each Newton step consumes the previous betas as a 1-row
+    broadcast (BroadcastNestedLoopJoin); nothing Python-side anywhere
+    and no sort-merge join of the fact table against a scalar."""
+    df = plans.QUERIES["ml_logistic_newton"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bootstrap_poisson_no_shuffle_before_replicate_agg(spark):
+    """The replicate weights are generated inline (explode of a
+    sequence literal) — the only exchange in the plan is the 64-key
+    hash aggregation, and the LCG draw stays whole-stage codegen."""
+    df = plans.QUERIES["stat_bootstrap_poisson"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial→final of the 64-key agg
+    assert "Generate explode" in plan
+
+
+def test_jaccard_neighbors_topk_no_global_sort(spark):
+    """The top-50 cut is TakeOrderedAndProject (per-partition top-k +
+    driver merge), never a single-partition global Sort."""
+    df = plans.QUERIES["graph_jaccard_neighbors"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_named_window_single_window_operator(spark):
+    """Ranking, lag, and the running frame share one named-window
+    sort: exactly one Window operator, one user_id exchange."""
+    df = plans.QUERIES["sql_named_window"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_int8_topk_scoring_stays_jvm(spark):
+    """Quantization, the integer dot product, and the ranking are all
+    JVM higher-order functions — no Python evaluation tier at all."""
+    df = plans.QUERIES["sim_topk_int8"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_decision_stump_single_fact_exchange(spark):
+    """The fact table is collapsed to the value histogram by one
+    hash aggregation; the split-pricing windows run over the bounded
+    histogram only (single-partition exchange AFTER the aggregate,
+    never of raw rows)."""
+    df = plans.QUERIES["ml_decision_stump"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # partial+final of the histogram agg, then the 1-partition window
+    assert plan.count("Exchange hashpartitioning") <= 2
