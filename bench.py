@@ -93,6 +93,10 @@ HEADLINE = [
     # path and the uncapped exact form stays the oracle
     "stat_kaplan_meier",              # survival over bounded durations
     "source_binaryfile_stats",        # whole-file binary ingestion
+    "ts_decompose_additive",          # STL-lite windows + 24-row join
+    "events_attribution_models",      # 4 credit rules, one touch table
+    "func_url_pack",                  # parse_url JVM builtin round-trip
+    "text_collocations_pmi",          # bigram PMI over shared marginals
 ]
 
 
