@@ -97,6 +97,7 @@ HEADLINE = [
     "events_attribution_models",      # 4 credit rules, one touch table
     "func_url_pack",                  # parse_url JVM builtin round-trip
     "text_collocations_pmi",          # bigram PMI over shared marginals
+    "corpus_bpe_train_rounds",        # 3-round vocab-bounded BPE trainer
 ]
 
 
