@@ -875,3 +875,33 @@ def test_decision_stump_single_fact_exchange(spark):
     assert "BatchEvalPython" not in plan
     # partial+final of the histogram agg, then the 1-partition window
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides are bucketed 8 ways by the join key, so the
+    SortMergeJoin's distribution requirement is satisfied by the
+    storage layout: ZERO Exchange operators anywhere before the final
+    aggregation's own shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = plans.QUERIES["layout_bucketed_join_roundtrip"](spark, SF)
+        # inspect the JOIN subplan (pre-aggregation): re-derive it
+        import hashlib
+
+        tag = (
+            hashlib.md5(SF.encode()).hexdigest()[:8]
+            + "_"
+            + hashlib.md5(
+                spark.sparkContext.applicationId.encode()
+            ).hexdigest()[:8]
+        )
+        c = spark.table(f"sg_bucket_{tag}.customer_b")
+        o = spark.table(f"sg_bucket_{tag}.orders_b")
+        j = c.join(o, c.c_custkey == o.o_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

@@ -46,3 +46,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4q  # noqa: F401
     from whisky_wine_etl_spark.plans import round4r  # noqa: F401
     from whisky_wine_etl_spark.plans import round4s  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4t  # noqa: F401
