@@ -98,6 +98,8 @@ HEADLINE = [
     "func_url_pack",                  # parse_url JVM builtin round-trip
     "text_collocations_pmi",          # bigram PMI over shared marginals
     "corpus_bpe_train_rounds",        # 3-round vocab-bounded BPE trainer
+    "stat_multiple_testing_bh",       # 25 z-tests + BH step-up windows
+    "layout_bucketed_join_roundtrip", # zero-exchange co-located join
 ]
 
 
