@@ -19,9 +19,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def copurchase_edges(li: DataFrame, *, both_directions: bool = False) -> DataFrame:
-    """Distinct undirected co-purchase edges (pa < pb) from a
-    lineitem projection with columns (l_orderkey, l_partkey).
+def copurchase_edges(
+    li: DataFrame, *, both_directions: bool = False, distinct: bool = True
+) -> DataFrame:
+    """Undirected co-purchase edges (pa < pb) from a lineitem
+    projection with columns (l_orderkey, l_partkey).
+
+    With ``distinct=False`` each order's pairs are kept with
+    multiplicity — the co-occurrence-count form recommenders
+    aggregate over (one row per order the pair shares). Parts are
+    still deduped WITHIN an order by the collect_set.
 
     With ``both_directions=True`` the symmetric closure is returned
     as (src, dst) — the shape the message-passing loops join against
@@ -40,8 +47,9 @@ def copurchase_edges(li: DataFrame, *, both_directions: bool = False) -> DataFra
             ).alias("e")
         )
         .select("e.pa", "e.pb")
-        .distinct()
     )
+    if distinct:
+        e1 = e1.distinct()
     if not both_directions:
         return e1
     return e1.select(
