@@ -49,3 +49,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4t  # noqa: F401
     from whisky_wine_etl_spark.plans import round4u  # noqa: F401
     from whisky_wine_etl_spark.plans import round4v  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4w  # noqa: F401
