@@ -100,6 +100,15 @@ HEADLINE = [
     "corpus_bpe_train_rounds",        # 3-round vocab-bounded BPE trainer
     "stat_multiple_testing_bh",       # 25 z-tests + BH step-up windows
     "layout_bucketed_join_roundtrip", # zero-exchange co-located join
+    "join_bloom_prefilter",           # bloom semi-join reduction (exact answer)
+    "sketch_cms_topk_err",            # count-min build + top-k read-back
+    "sketch_quantile_hist",           # mergeable histogram quantiles
+    "graph_hits_authorities",         # 2 unrolled HITS rounds (bipartite)
+    "rec_item_item_cosine",           # basket item-item CF top-3
+    "text_inverted_index",            # posting-list build (term-partitioned)
+    "ts_trend_per_key",               # grouped closed-form OLS (2 shuffles)
+    "ml_ridge_kfold_cv",              # total-minus-fold CV, 2 passes for k folds
+    "ts_next_higher_value",           # applyInPandas monotone stack per key
 ]
 
 

@@ -1,0 +1,258 @@
+"""Round-4y: a deletion-neighborhood (FastSS) edit-distance join,
+graph modularity of an attribute partition, and an equi-depth
+histogram from exact discrete percentiles.
+
+Registered AFTER round4x so the driver's unverified-first ordering
+keeps the earlier backlog in the front verification slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.operators.graph import copurchase_edges
+from whisky_wine_etl_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# FastSS deletion-neighborhood join: every string emits itself plus
+# each single-character-deletion variant as join keys; two strings
+# within edit distance 1 (substitution, insertion or deletion)
+# PROVABLY share a key, so candidate generation is an equi-join on
+# short keys — no blocking heuristic, no recall loss, no n² — and a
+# final levenshtein confirms. Complements er_blocked_fuzzy_pairs
+# (round4d), whose half-string blocking is only complete for
+# equal-length strings; deletion neighborhoods cover insert/delete
+# too, which is what you want on messy real-world names.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "er_deletion_neighborhood_join",
+    """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_mktsegment = 'MACHINERY' AND b.c_mktsegment = 'MACHINERY'
+ AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def er_deletion_neighborhood_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-≤1 pairs via FastSS (k=1) keys.
+
+    Each name of length L yields L+1 keys (itself + L deletions) —
+    linear blowup, each key joins within its tiny bucket, so the
+    candidate count is Σ|bucket|² over near-duplicate buckets only.
+    The oracle is the O(n²) cross join; equality proves the
+    neighborhood generation loses nothing. Scale: key generation is
+    a codegen'd transform/explode, the join is a plain string
+    equi-join — at 100 TB this is the shape dedup services actually
+    run (e.g. spell-checker FastSS, Symspell)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey", "c_name")
+    )
+    keys = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "array_union(array(c_name), "
+                "transform(sequence(1, length(c_name)), "
+                "i -> concat(substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name) - i))))"
+            )
+        ).alias("k"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("dist") <= 1)
+        .select("custkey_a", "custkey_b", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of an attribute-induced partition: do parts of the same
+# brand get co-purchased more than chance? Q_c = e_c/m − (d_c/2m)²
+# per community; every input is an exact integer (edge counts,
+# degree sums), so the only float work is the final division.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_modularity_brand",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e),
+deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e
+  ) GROUP BY p
+),
+comm_deg AS (
+  SELECT pt.p_brand AS brand, SUM(deg.d) AS d_c
+  FROM deg JOIN part pt ON pt.p_partkey = deg.p
+  GROUP BY pt.p_brand
+),
+intra AS (
+  SELECT pa.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS e_c
+  FROM e JOIN part pa ON pa.p_partkey = e.pa
+         JOIN part pb ON pb.p_partkey = e.pb
+  WHERE pa.p_brand = pb.p_brand
+  GROUP BY pa.p_brand
+)
+SELECT cd.brand, CAST(COALESCE(i.e_c, 0) AS BIGINT) AS intra_edges,
+       CAST(cd.d_c AS BIGINT) AS degree_sum,
+       ROUND(COALESCE(i.e_c, 0) / m.m - (cd.d_c / (2 * m.m)) * (cd.d_c / (2 * m.m)), 6) AS q_contrib
+FROM comm_deg cd LEFT JOIN intra i ON i.brand = cd.brand, m
+ORDER BY cd.brand
+""",
+)
+def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity contribution per brand over the co-purchase
+    graph. Edges come from the shared basket builder (one orderkey
+    shuffle); intra-community counting is two broadcast joins against
+    the part dim; degree sums are one union+groupBy. All counts are
+    exact integers — engines agree bit-for-bit before the rounded
+    division. A positive q_contrib means the brand's parts co-occur
+    beyond what their popularity predicts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    e = copurchase_edges(li)
+    m = e.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    deg = (
+        e.select(F.col("pa").alias("p"))
+        .unionAll(e.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    comm_deg = (
+        deg.join(F.broadcast(part), deg["p"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("d").alias("d_c"))
+    )
+    pa = part.select(
+        F.col("p_partkey").alias("pa"), F.col("p_brand").alias("brand_a")
+    )
+    pb = part.select(
+        F.col("p_partkey").alias("pb"), F.col("p_brand").alias("brand_b")
+    )
+    intra = (
+        e.join(F.broadcast(pa), "pa")
+        .join(F.broadcast(pb), "pb")
+        .filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    out = (
+        comm_deg.join(intra, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("intra_edges"),
+            F.col("d_c").cast("bigint").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.col("e_c"), F.lit(0)) / F.col("m")
+                - (F.col("d_c") / (2 * F.col("m"))) ** 2,
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+    return out.orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: bucket boundaries are exact discrete deciles
+# (percentile_disc — actual data values, so both engines pick the
+# identical boundary rows), then one broadcast pass bins every order.
+# The fixed-width twin is sketch_quantile_hist; this is the
+# equal-mass layout optimizers want for selectivity estimation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_equidepth_hist",
+    """
+WITH bounds AS (
+  SELECT [quantile_disc(o_totalprice, 0.1), quantile_disc(o_totalprice, 0.2),
+          quantile_disc(o_totalprice, 0.3), quantile_disc(o_totalprice, 0.4),
+          quantile_disc(o_totalprice, 0.5), quantile_disc(o_totalprice, 0.6),
+          quantile_disc(o_totalprice, 0.7), quantile_disc(o_totalprice, 0.8),
+          quantile_disc(o_totalprice, 0.9)] AS bs
+  FROM orders
+),
+binned AS (
+  SELECT CAST(len(list_filter(bounds.bs, b -> b < o.o_totalprice)) AS BIGINT) AS bucket,
+         o.o_totalprice AS v
+  FROM orders o, bounds
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi,
+       ROUND(SUM(v), 2) AS mass
+FROM binned GROUP BY bucket ORDER BY bucket
+""",
+)
+def sketch_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-mass decile histogram of o_totalprice.
+
+    percentile_disc returns actual data values (no interpolation), so
+    the 9 boundaries are deterministic across engines; they travel as
+    ONE broadcast row and binning is a codegen'd array filter —
+    bucket k = # boundaries strictly below the value. Two passes
+    total; no global sort. Bucket populations differ from n/10 only
+    by boundary ties, which the lo/hi columns expose."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.array(
+            *[
+                F.expr(f"percentile_disc({q/10}) WITHIN GROUP (ORDER BY o_totalprice)")
+                for q in range(1, 10)
+            ]
+        ).alias("bs")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.size(F.filter(F.col("bs"), lambda b: b < F.col("o_totalprice")))
+        .cast("bigint")
+        .alias("bucket"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+            F.round(F.sum("v"), 2).alias("mass"),
+        )
+        .orderBy("bucket")
+    )
