@@ -256,43 +256,72 @@ ORDER BY user_id
 )
 def ts_next_higher_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monotone-stack next-greater scan per user (O(n) per key vs the
-    oracle LATERAL's O(n²)), Arrow-batched via applyInPandas.
+    oracle LATERAL's O(n²)) on the secondary-sort mapInPandas path.
 
     The scan is genuinely order-dependent state — the case where
-    built-in operators stop and the grouped-pandas path is the right
-    tool. Keys partition freely, each group sorts locally; nothing is
-    global. The emitted frame is one row per user."""
+    built-in operators stop and grouped pandas is the right tool.
+    Instead of applyInPandas (one Python call per key — per-call
+    overhead dominates when keys are small), the stream is
+    repartitioned by user and sorted (user, ts, id) WITHIN each
+    partition, and ONE mapInPandas pass walks each Arrow batch,
+    carrying the trailing (possibly split) user over to the next
+    batch. That amortizes Python dispatch over thousands of keys per
+    batch and keeps memory bounded by batch size — the classic
+    secondary-sort contract, which is exactly what survives 100 TB.
+    Timestamps are reduced to int64 nanoseconds once per batch; the
+    stack loop touches plain scalars only."""
     import pandas as pd
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    schema = "user_id long, n_events long, n_with_next long, avg_wait_s double"
+    cols = ["user_id", "n_events", "n_with_next", "avg_wait_s"]
 
-    def nge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        vals = pdf["value"].to_numpy()
-        ts = pdf["ts"].to_numpy()
-        n = len(pdf)
-        waits = []
-        stack: list[int] = []  # indices with no higher successor yet
-        found = [None] * n
-        for i in range(n):
-            while stack and vals[stack[-1]] < vals[i]:
-                j = stack.pop()
-                found[j] = (ts[i] - ts[j]) / pd.Timedelta(seconds=1)
-            stack.append(i)
-        waits = [w for w in found if w is not None]
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [n],
-                "n_with_next": [len(waits)],
-                "avg_wait_s": [
-                    round(sum(waits) / len(waits), 2) if waits else None
-                ],
-            }
-        )
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            vals = g["value"].to_numpy().tolist()
+            tns = (
+                g["ts"].to_numpy(dtype="datetime64[ns]").astype("int64").tolist()
+            )
+            n = len(vals)
+            stack: list[int] = []
+            total_ns = 0
+            cnt = 0
+            for i in range(n):
+                v = vals[i]
+                while stack and vals[stack[-1]] < v:
+                    j = stack.pop()
+                    total_ns += tns[i] - tns[j]
+                    cnt += 1
+                stack.append(i)
+            out.append(
+                (
+                    uid,
+                    n,
+                    cnt,
+                    round(total_ns / 1e9 / cnt, 2) if cnt else None,
+                )
+            )
+        return pd.DataFrame(out, columns=cols)
 
-    out = ev.groupBy("user_id").applyInPandas(
-        nge,
-        "user_id long, n_events long, n_with_next long, avg_wait_s double",
+    def nge_partition(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_uid = pdf["user_id"].iloc[-1]
+            head = pdf[pdf["user_id"] != last_uid]
+            carry = pdf[pdf["user_id"] == last_uid]
+            if len(head):
+                yield process(head)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    out = (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(nge_partition, schema)
     )
     return out.orderBy("user_id")
