@@ -905,3 +905,104 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4v..4z surface
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_broadcasts_position_sets(spark):
+    """The three bloom position semi-joins and the exact confirm all
+    broadcast (build side is bounded by m and by the filtered dim);
+    the probe never shuffles, and nothing drops to Python."""
+    df = plans.QUERIES["join_bloom_prefilter"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_sketch_single_scan_partial_agg(spark):
+    """Sketch build explodes one scan to d rows and partial-aggs;
+    the read-back joins the 15-row probe frame against the broadcast
+    sketch — no shuffled join anywhere."""
+    df = plans.QUERIES["sketch_cms_topk_err"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hits_rounds_shuffle_only_on_group_keys(spark):
+    """Two HITS rounds = aggregations over edges; the 1-row max
+    normalizer must arrive via broadcast nested loop, never a sort."""
+    df = plans.QUERIES["graph_hits_authorities"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") == 1  # top-15, no global sort
+
+
+def test_trend_per_key_no_window_no_python(spark):
+    """Grouped closed-form OLS is two groupBys and a projection —
+    no window operator, no Python, partial aggregation on."""
+    df = plans.QUERIES["ts_trend_per_key"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_" in plan
+    assert plan.count("TakeOrderedAndProject") == 1
+
+
+def test_ridge_cv_two_data_passes(spark):
+    """Total-minus-fold CV: the fact join feeds per-fold stats once
+    and held-out scoring once — exactly two joins of orders×lineitem,
+    model arrives broadcast."""
+    df = plans.QUERIES["ml_ridge_kfold_cv"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the 5-row model frame joins back via broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_next_higher_single_exchange_then_pandas(spark):
+    """Secondary-sort contract: ONE hash exchange on user_id, sort
+    within partitions, one MapInPandas — and nothing else Python."""
+    df = plans.QUERIES["ts_next_higher_value"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "ApplyInPandas" not in plan
+    # exchanges: the repartition + the final orderBy's range exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fastss_join_is_equi_on_keys(spark):
+    """Deletion-neighborhood candidates come from a string equi-join
+    (hashable), not a theta join; verification stays JVM-side."""
+    df = plans.QUERIES["er_deletion_neighborhood_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_equidepth_boundaries_broadcast_once(spark):
+    """The 9 decile boundaries travel as one broadcast row; binning is
+    a codegen'd array predicate over a single fact scan."""
+    df = plans.QUERIES["sketch_equidepth_hist"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # only the final groupBy
+
+
+def test_huber_refits_broadcast_model_rows(spark):
+    """Each IRLS refit recomputes weights against a broadcast 1-row
+    model — no per-iteration shuffle of the data frame beyond the
+    initial fact join aggregations."""
+    df = plans.QUERIES["ml_huber_irls2"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
