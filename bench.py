@@ -108,7 +108,15 @@ HEADLINE = [
     "text_inverted_index",            # posting-list build (term-partitioned)
     "ts_trend_per_key",               # grouped closed-form OLS (2 shuffles)
     "ml_ridge_kfold_cv",              # total-minus-fold CV, 2 passes for k folds
-    "ts_next_higher_value",           # applyInPandas monotone stack per key
+    "ts_next_higher_value",           # secondary-sort mapInPandas monotone stack
+    "er_deletion_neighborhood_join",  # FastSS ED<=1 equi-join
+    "graph_modularity_brand",         # Newman Q over co-purchase communities
+    "sketch_equidepth_hist",          # percentile_disc bounds + broadcast binning
+    "agg_pct_of_parent",              # two-level shares from one leaf pass
+    "ml_huber_irls2",                 # 2 unrolled IRLS refits, broadcast model
+    "ts_time_weighted_avg",           # duration-weighted mean per user
+    "window_rolling_slope",           # windowed OLS moments, RANGE frame
+    "agg_weighted_median_2pass",      # distributed selection (histogram+refine)
 ]
 
 
