@@ -989,13 +989,17 @@ def test_fastss_join_is_equi_on_keys(spark):
 
 
 def test_equidepth_boundaries_broadcast_once(spark):
-    """The 9 decile boundaries travel as one broadcast row; binning is
-    a codegen'd array predicate over a single fact scan."""
+    """Decile boundaries come from the histogram+rank-refine pass
+    (never nine sort-aggregates): every join is broadcast, the only
+    row-sort is the per-bin rank over the ≤9 refined bins, and the
+    final binning predicate stays JVM-side."""
     df = plans.QUERIES["sketch_equidepth_hist"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 1  # only the final groupBy
+    # no full-column sort aggregate: percentile_disc must not appear
+    assert "percentile_disc" not in plan
 
 
 def test_huber_refits_broadcast_model_rows(spark):
