@@ -117,6 +117,9 @@ HEADLINE = [
     "ts_time_weighted_avg",           # duration-weighted mean per user
     "window_rolling_slope",           # windowed OLS moments, RANGE frame
     "agg_weighted_median_2pass",      # distributed selection (histogram+refine)
+    "diag_key_skew_profile",          # count-of-counts Gini + percentiles
+    "events_retention_decay_fit",     # pooled retention -> log-linear fit
+    "events_dau_wau_mau",             # activity-shadow trailing distincts
 ]
 
 

@@ -56,3 +56,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4aa  # noqa: F401
     from whisky_wine_etl_spark.plans import round4ab  # noqa: F401
     from whisky_wine_etl_spark.plans import round4ac  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4ad  # noqa: F401
