@@ -1010,3 +1010,76 @@ def test_huber_refits_broadcast_model_rows(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4aa..4ad surface
+# ---------------------------------------------------------------------------
+
+
+def test_twa_single_user_window_then_groupby(spark):
+    """Time-weighted average: one user-partitioned window, one
+    groupBy — no global window, no Python."""
+    df = plans.QUERIES["ts_time_weighted_avg"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_slope_range_frame_partitioned_by_user(spark):
+    """All five OLS moments come from ONE partitioned window operator
+    (RANGE frame); no unpartitioned window anywhere."""
+    df = plans.QUERIES["window_rolling_slope"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "RangeFrame, -6, currentrow" in plan
+
+
+def test_weighted_median_refine_joins_broadcast(spark):
+    """Two-pass selection: the midpoint-bin descriptor reaches pass 2
+    via broadcast; no sort-merge join, no Python."""
+    df = plans.QUERIES["agg_weighted_median_2pass"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dau_wau_mau_no_window_operator(spark):
+    """Trailing distincts come from explode + distinct + groupBy —
+    pinning the absence of any window operator (a rolling-distinct
+    window would be the non-scalable formulation)."""
+    df = plans.QUERIES["events_dau_wau_mau"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skew_profile_gini_on_count_of_counts(spark):
+    """The Gini windows run over the count-of-counts frame: the only
+    exchanges hash on o_custkey (key counts) and c (count values) —
+    both aggregations partial-agg'd."""
+    df = plans.QUERIES["diag_key_skew_profile"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_retention_fit_regression_over_aggregate_points(spark):
+    """The OLS runs over ≤7 pooled points; the only fact-sized work
+    is two groupBys (first-seen, activity offsets) — no window at
+    all."""
+    df = plans.QUERIES["events_retention_decay_fit"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_period_over_period_lags_over_month_frame(spark):
+    """MoM/YoY lags run over the month aggregate, after a
+    partial-agg'd rollup of the fact table."""
+    df = plans.QUERIES["window_period_over_period"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "partial_" in plan
