@@ -47,3 +47,16 @@ def test_session_multibatch_spans_file_boundary(spark):
     wm = max_ts - dt.timedelta(minutes=10)
     expect = {tuple(r) for r in full.collect() if r.session_end <= wm}
     assert rows == expect
+
+
+def test_sliding_multibatch_equals_watermark_cut_twin(spark):
+    out = {tuple(r) for r in plans.QUERIES["stream_sliding_multibatch"](spark, SF).collect()}
+    assert out
+    full = plans.QUERIES["stream_sliding_1h_30m"](spark, SF)
+    from whisky_wine_etl_spark.catalog import load_table
+    import datetime as dt
+
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - dt.timedelta(minutes=10)
+    expect = {tuple(r) for r in full.collect() if r.wend <= wm}
+    assert out == expect

@@ -59,3 +59,36 @@ def stream_session_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp.file_events_stream(spark, landing, max_files_per_trigger=1)
     )
     return sp.run_to_memory(spark, s, "append")
+
+
+@query(
+    "stream_sliding_multibatch",
+    """
+WITH s AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS wstart,
+         e.*
+  FROM events e, (SELECT unnest(range(0, 2)) AS k) k(k)
+),
+agg AS (
+  SELECT wstart, wstart + INTERVAL '1 hour' AS wend,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(value), 4) AS sum_value
+  FROM s GROUP BY 1, 2
+),
+wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events)
+SELECT a.* FROM agg a, wm WHERE a.wend <= wm.w
+""",
+)
+def stream_sliding_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1 h / 30 min) windows under multi-batch execution —
+    every event lives in TWO window states that must both survive the
+    micro-batch boundary. Append mode emits windows the final
+    watermark closed (wend <= max(ts) − 10 min, closed-form because
+    the range-ordered landing guarantees no late rows). Completes the
+    multibatch matrix: tumbling (round 3), session (above), sliding
+    (here) — all hash-verified against batch oracles, not rows-only."""
+    landing = sp.multibatch_landing(spark, sf_dir, n_files=3)
+    s = sp.sliding_counts(
+        sp.file_events_stream(spark, landing, max_files_per_trigger=1)
+    )
+    return sp.run_to_memory(spark, s, "append")
