@@ -62,3 +62,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4ag  # noqa: F401
     from whisky_wine_etl_spark.plans import round4ah  # noqa: F401
     from whisky_wine_etl_spark.plans import round4ai  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4aj  # noqa: F401
