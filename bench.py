@@ -120,6 +120,12 @@ HEADLINE = [
     "diag_key_skew_profile",          # count-of-counts Gini + percentiles
     "events_retention_decay_fit",     # pooled retention -> log-linear fit
     "events_dau_wau_mau",             # activity-shadow trailing distincts
+    "corpus_negative_samples",        # two-pass surrogate keys + cyclic-hash negatives
+    "ml_markov_next_event_eval",      # train/eval split, broadcast model join
+    "corpus_bpe_apply",               # encode via merge-applied vocabulary join
+    "geo_grid_radius_join",           # 3x3 cell equi-join radius search
+    "sim_topk_mips",                  # MIPS via augmented-cosine LSH
+    "window_period_over_period",      # MoM/YoY lags over month frame
 ]
 
 
