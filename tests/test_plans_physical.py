@@ -1083,3 +1083,55 @@ def test_period_over_period_lags_over_month_frame(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1
     assert "partial_" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4ae..4aj surface
+# ---------------------------------------------------------------------------
+
+
+def test_negative_samples_int_equi_join(spark):
+    """Negatives resolve through hash equi-joins on the surrogate
+    index — no nested loop over the corpus, no Python."""
+    df = plans.QUERIES["corpus_negative_samples"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_markov_eval_model_joins_broadcast(spark):
+    """The |types|²-row model reaches the eval stream via broadcast;
+    bigram extraction is the only window (user-partitioned)."""
+    df = plans.QUERIES["ml_markov_next_event_eval"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_apply_encode_is_hash_join_on_word(spark):
+    """Encoding joins occurrences to the encoded vocabulary — a word
+    hash join, never a per-occurrence merge loop; no Python."""
+    df = plans.QUERIES["corpus_bpe_apply"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_grid_join_no_cross_join(spark):
+    """The radius join must plan as an equi-join on the cell key —
+    the whole point vs the oracle's CROSS JOIN."""
+    df = plans.QUERIES["geo_grid_radius_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mips_reuses_lsh_candidate_distinct(spark):
+    """MIPS rides the shared LSH path: bucketed candidates are
+    distinct'ed before exact scoring (HashAggregate over the
+    candidate keys), and the only Python is the Arrow bucket UDF."""
+    df = plans.QUERIES["sim_topk_mips"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow tier only
+    assert "ArrowEvalPython" in plan
