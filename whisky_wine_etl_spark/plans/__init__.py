@@ -64,3 +64,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4ai  # noqa: F401
     from whisky_wine_etl_spark.plans import round4aj  # noqa: F401
     from whisky_wine_etl_spark.plans import round4ak  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4al  # noqa: F401
