@@ -1135,3 +1135,68 @@ def test_mips_reuses_lsh_candidate_distinct(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # Arrow tier only
     assert "ArrowEvalPython" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4ak..4am surface
+# ---------------------------------------------------------------------------
+
+
+def test_parameterized_query_pushes_bound_filter(spark):
+    """Named binds resolve to literals at analysis time, so the
+    price/status predicates still push down to the parquet scan."""
+    df = plans.QUERIES["sql_parameterized_query"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_values_inline_dim_broadcasts_local_relation(spark):
+    """The 3-row VALUES dimension is a LocalRelation — Catalyst must
+    broadcast it, never shuffle the fact side for the join."""
+    df = plans.QUERIES["sql_values_inline_dim"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lambda_pack_is_pure_catalyst_map(spark):
+    """filter/exists/forall/zip_with are Catalyst expressions: no
+    Python eval, no join, no aggregate exchange — one scan, one
+    projection, the final presentation sort."""
+    df = plans.QUERIES["func_lambda_pack"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_collation_group_single_exchange(spark):
+    """Collated grouping is still a partial→final hash aggregate with
+    ONE shuffle — collation changes the comparison, not the plan."""
+    df = plans.QUERIES["func_collation_group"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_collapse_adjacent_one_window_no_join(spark):
+    """Compaction is one user-partitioned window + filter: a single
+    hash exchange on user_id, no self-join."""
+    df = plans.QUERIES["events_collapse_adjacent"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_identifier_clause_resolves_to_scan_agg(spark):
+    """IDENTIFIER(:tbl) resolves at analysis time — the plan is the
+    same scan + two-phase aggregate a literal table name produces."""
+    df = plans.QUERIES["sql_identifier_clause"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
