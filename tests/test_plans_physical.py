@@ -1200,3 +1200,36 @@ def test_identifier_clause_resolves_to_scan_agg(spark):
     assert "HashAggregate" in plan
     assert "partial_" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4an surface
+# ---------------------------------------------------------------------------
+
+
+def test_effect_sizes_single_fact_aggregation(spark):
+    """The orders scan partial-aggregates once; marginals/total are
+    broadcast-size derivations of the cell table."""
+    df = plans.QUERIES["stat_effect_sizes"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_running_argmax_one_window_no_join(spark):
+    df = plans.QUERIES["window_running_argmax"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rake_topk_no_global_sort_no_python(spark):
+    """Top-15 must plan as TakeOrderedAndProject; word scores reach
+    phrase words via broadcast."""
+    df = plans.QUERIES["text_keyword_rake"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
