@@ -1233,3 +1233,53 @@ def test_rake_topk_no_global_sort_no_python(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4ao surface
+# ---------------------------------------------------------------------------
+
+
+def test_pipe_syntax_plans_like_classic_query(spark):
+    """Pipe syntax is parser sugar: pushdown reaches the scan and the
+    customer side broadcasts exactly as in the classic form."""
+    df = plans.QUERIES["sql_pipe_segment_revenue"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderdate)" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmv_partial_topk_bounds_final_window(spark):
+    """The bottom-k must run as salted partial rank → final rank: two
+    Window stages per sketch, no global sort of the distinct hashes,
+    all aggregates two-phase."""
+    df = plans.QUERIES["sketch_kmv_distinct"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the estimator is pure expression work: no Python, no UDF
+    assert "ArrowEvalPython" not in plan
+
+
+def test_incremental_state_merges_without_python(spark):
+    """Base/delta partials and the merge are all hash aggregates on
+    o_custkey; decimal sums stay JVM-side."""
+    df = plans.QUERIES["etl_incremental_agg_state"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_scan_is_codegen_over_codes(spark):
+    """PQ: the only Python is the Arrow code/table UDFs; the ADC
+    scoring join broadcasts the tiny query side and the score itself
+    is element_at arithmetic (no Python in the scoring stage)."""
+    df = plans.QUERIES["sim_topk_pq"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
