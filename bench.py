@@ -126,6 +126,9 @@ HEADLINE = [
     "geo_grid_radius_join",           # 3x3 cell equi-join radius search
     "sim_topk_mips",                  # MIPS via augmented-cosine LSH
     "window_period_over_period",      # MoM/YoY lags over month frame
+    "sketch_kmv_distinct",            # salted bottom-k distinct sketch
+    "sim_topk_pq",                    # PQ/ADC compressed-domain ANN
+    "etl_incremental_agg_state",      # partial-state merge == recompute
 ]
 
 

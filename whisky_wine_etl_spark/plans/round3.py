@@ -1282,7 +1282,17 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the contribution aggregate already covers ALL nodes — no
         # nodes⋈contrib left join needed per round
         ranks = (
-            contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
+            # ranks is one row per node with its exact size known —
+            # broadcast it while it fits, so the edge-scale contrib
+            # table streams through a map-side join and is never
+            # re-shuffled; only the dst aggregation exchanges (and
+            # that map-side-combines down to per-node partials)
+            contrib_src.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src"))
+                if n_nodes <= 2_000_000
+                else ranks.withColumnRenamed("node", "src"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
             .select(

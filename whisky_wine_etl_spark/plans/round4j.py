@@ -72,16 +72,33 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_ = li.sparkSession
     frontier = spark_.createDataFrame([(src,)], "node long").localCheckpoint(eager=True)
     visited = frontier.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    # frontier/visited sizes are known exactly (each round counts),
+    # so BROADCAST them while small: the big edge table then streams
+    # through a map-side hash join instead of being re-shuffled on
+    # src every round — at BFS's typical shape (frontier ≪ edges)
+    # this removes the dominant per-round exchange. Falls back to a
+    # shuffle join past the threshold (a frontier of tens of millions
+    # on a real cluster should not ride the driver).
+    bcast_limit = 2_000_000
+    frontier_n, visited_n = 1, 1
     for d in range(1, 5):
+        f = F.broadcast(frontier) if frontier_n <= bcast_limit else frontier
+        v = (
+            F.broadcast(visited.select("node"))
+            if visited_n <= bcast_limit
+            else visited.select("node")
+        )
         new = (
-            frontier.join(e, frontier.node == e.src)
+            f.join(e, f.node == e.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(v, "node", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if new.count() == 0:
+        frontier_n = new.count()
+        if frontier_n == 0:
             break
+        visited_n += frontier_n
         visited = (
             visited.unionAll(new.withColumn("dist", F.lit(d)))
             .localCheckpoint(eager=True)

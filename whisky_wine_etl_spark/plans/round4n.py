@@ -381,14 +381,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e
     deg_frame = d0  # round 1 reuses the percentile pass's degrees
     for _ in range(3):
+        # checkpoint keep: it feeds BOTH semi joins (lazy, the degree
+        # agg would run twice per round) and its exact count gates the
+        # broadcast — node sets are orders smaller than edge lists, so
+        # while they fit, both re-inductions are map-side joins and
+        # the edge table is never re-shuffled
         keep = (
             deg_frame.crossJoin(F.broadcast(kq))
             .filter(F.col("deg") >= F.col("k"))
             .select("node")
+            .localCheckpoint(eager=True)
         )
+        kb = F.broadcast(keep) if keep.count() <= 2_000_000 else keep
         edges = (
-            edges.join(keep, edges.pa == keep.node, "left_semi")
-            .join(keep, F.col("pb") == keep.node, "left_semi")
+            edges.join(kb, edges.pa == kb.node, "left_semi")
+            .join(kb, F.col("pb") == kb.node, "left_semi")
             .localCheckpoint(eager=True)
         )
         deg_frame = degrees(edges)
