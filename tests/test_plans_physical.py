@@ -1283,3 +1283,29 @@ def test_pq_adc_scan_is_codegen_over_codes(spark):
     assert "ArrowEvalPython" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4ap surface
+# ---------------------------------------------------------------------------
+
+
+def test_session_variables_fold_to_pushed_filters(spark):
+    """Variable references fold to literals at analysis time, so the
+    price predicate reaches the parquet scan."""
+    df = plans.QUERIES["sql_session_variables"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice,150000.0)" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_temperature_mixture_single_fact_aggregation(spark):
+    """One partial-agg'd groupBy over documents; the policy math runs
+    on the broadcast 1-row totals frame."""
+    df = plans.QUERIES["corpus_mixture_temperature"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -106,50 +106,42 @@ ORDER BY yr
 """,
 )
 def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL scripting: a BEGIN..END block DECLAREs a loop variable,
-    WHILE-loops over report years 1995-97 INSERTing one aggregate row
-    per iteration into a session-temp accumulator table, and ends
-    with the SELECT that becomes the script's result set — the shape
-    of a migrated stored procedure. Each iteration's data work is a
-    single declarative aggregate (scan-pruned to one year), so the
-    procedural shell adds orchestration, not row-at-a-time logic.
-    The oracle is the set-based equivalent (years spine LEFT JOIN
-    yearly rollup + running total)."""
+    """SQL scripting: a BEGIN..END block DECLAREs a loop counter and
+    an ARRAY<STRUCT> accumulator variable, WHILE-loops over report
+    years 1995-97 appending one aggregate row per iteration (each SET
+    runs a scalar subquery whose data work is a single declarative,
+    scan-pruned aggregate), and ends with the SELECT that becomes the
+    script's result set — the shape of a migrated stored procedure:
+    procedural orchestration around set-based statements, never
+    row-at-a-time logic. The oracle is the set-based equivalent
+    (years spine LEFT JOIN yearly rollup + running total)."""
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("sg_script_orders")
-    prev = spark.conf.get("spark.sql.scripting.enabled", "true")
-    spark.conf.set("spark.sql.scripting.enabled", "true")
-    try:
-        return spark.sql(
-            """
-            BEGIN
-              DECLARE yr INT DEFAULT 1995;
-              CREATE OR REPLACE TEMPORARY VIEW sg_script_acc (
-                yr, n_orders, revenue
-              ) AS SELECT CAST(NULL AS INT), CAST(NULL AS BIGINT),
-                          CAST(NULL AS DOUBLE) WHERE 1 = 0;
-              WHILE yr <= 1997 DO
-                CREATE OR REPLACE TEMPORARY VIEW sg_script_acc AS
-                  SELECT * FROM sg_script_acc
-                  UNION ALL
-                  SELECT yr AS yr,
-                         CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-                         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                              AS DOUBLE) AS revenue
-                  FROM sg_script_orders
-                  WHERE EXTRACT(YEAR FROM o_orderdate) = yr;
-                SET yr = yr + 1;
-              END WHILE;
-              SELECT yr, n_orders, revenue,
-                     CAST(SUM(n_orders) OVER (ORDER BY yr) AS BIGINT)
-                       AS cum_orders
-              FROM sg_script_acc
-              ORDER BY yr;
-            END
-            """
-        )
-    finally:
-        spark.conf.set("spark.sql.scripting.enabled", prev)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE yr INT DEFAULT 1995;
+          DECLARE acc ARRAY<STRUCT<yr: INT, n_orders: BIGINT,
+                                   revenue: DOUBLE>> DEFAULT ARRAY();
+          WHILE yr <= 1997 DO
+            SET acc = array_append(acc, (
+              SELECT named_struct(
+                       'yr', yr,
+                       'n_orders', CAST(COUNT(o_orderkey) AS BIGINT),
+                       'revenue', CAST(SUM(CAST(o_totalprice
+                                              AS DECIMAL(18,2)))
+                                       AS DOUBLE))
+              FROM sg_script_orders
+              WHERE EXTRACT(YEAR FROM o_orderdate) = yr));
+            SET yr = yr + 1;
+          END WHILE;
+          SELECT s.yr, s.n_orders, s.revenue,
+                 CAST(SUM(s.n_orders) OVER (ORDER BY s.yr) AS BIGINT)
+                   AS cum_orders
+          FROM (SELECT explode(acc) AS s) ORDER BY yr;
+        END
+        """
+    )
 
 
 # ---------------------------------------------------------------------------
