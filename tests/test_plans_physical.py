@@ -1309,3 +1309,30 @@ def test_temperature_mixture_single_fact_aggregation(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4aq surface
+# ---------------------------------------------------------------------------
+
+
+def test_pandas_api_report_lowers_to_broadcast_join(spark):
+    """The pandas merge/groupby surface must lower to the same
+    physical plan as the hand-written query: broadcast join on the
+    customer side, two-phase aggregate, no Python eval."""
+    df = plans.QUERIES["pandas_api_orders_report"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_approx_top_k_single_sketch_aggregate(spark):
+    """One partial-aggregable sketch: no shuffle of raw values, no
+    Python, a single two-phase aggregate."""
+    df = plans.QUERIES["agg_approx_top_k"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_top_k" in plan or "partial_" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
