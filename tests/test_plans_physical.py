@@ -1336,3 +1336,39 @@ def test_approx_top_k_single_sketch_aggregate(spark):
     assert "partial_approx_top_k" in plan or "partial_" in plan
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4ar surface
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunker_is_pure_codegen(spark):
+    """The chunker (windowed md5 + cuts + substrings) must stay a
+    Catalyst expression: no Python eval, no join before the per-doc
+    aggregate."""
+    df = plans.QUERIES["text_cdc_chunks"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_chunk_overlap_hot_hash_prefilter(spark):
+    """Posting lists are df-capped BEFORE the pair self-join, and the
+    join is an equi-join on the chunk hash."""
+    df = plans.QUERIES["dedup_chunk_overlap"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sized_shards_no_global_window(spark):
+    """The prefix sum must be the two-pass range-partition form: any
+    Window in the plan is partitioned (no single-task global sort)."""
+    df = plans.QUERIES["layout_sized_shards"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start():m.start() + 400]
+        assert "__pid" in frag or "partitionBy" in frag or ", [__pid" in frag, frag
+    assert "BatchEvalPython" not in plan

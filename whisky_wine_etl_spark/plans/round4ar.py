@@ -1,0 +1,258 @@
+"""Round-4ar: content-defined chunking (CDC), chunk-level duplicate
+detection, and target-size output sharding.
+
+Registered AFTER round4aq so the driver's unverified-first ordering
+keeps the earlier backlog in the front verification slots.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.plans.registry import query
+
+
+def _scratch(spark: SparkSession, sf_dir: str, leaf: str) -> str:
+    tag = hashlib.md5(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"sg_r4ar_{tag}", leaf)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking: boundaries fall where a rolling window's
+# hash hits a pattern, so an insertion early in a document shifts only
+# the ONE chunk it lands in — the property that makes CDC the dedup
+# granularity for storage systems (rsync, restic, FastCDC) and for
+# LLM-corpus near-dup at sub-document level. The window hash here is
+# md5 of each 8-char window with a 1/16 boundary probability (first
+# hex nibble '0'), chosen because BOTH engines evaluate it
+# bit-identically — the whole chunker is one Catalyst expression.
+# ---------------------------------------------------------------------------
+
+_SPARK_BPOS = """
+CASE WHEN length(text) >= 9 THEN
+  filter(sequence(2, length(text) - 7),
+         i -> substring(md5(substring(text, i, 8)), 1, 1) = '0')
+ELSE array() END
+"""
+_SPARK_CUTS = f"concat(array(1), ({_SPARK_BPOS}), array(length(text) + 1))"
+_SPARK_CHUNKS = f"""
+CASE WHEN length(text) = 0 THEN array()
+ELSE transform(sequence(1, size({_SPARK_CUTS}) - 1),
+     j -> substring(text, element_at({_SPARK_CUTS}, j),
+                    element_at({_SPARK_CUTS}, j + 1)
+                    - element_at({_SPARK_CUTS}, j)))
+END
+"""
+
+_DUCK_BPOS = """
+CASE WHEN length(text) >= 9 THEN
+  list_filter(range(2, length(text) - 6),
+              i -> substr(md5(substr(text, i, 8)), 1, 1) = '0')
+ELSE [] END
+"""
+_DUCK_CUTS = f"list_concat(list_concat([1], ({_DUCK_BPOS})), [length(text) + 1])"
+_DUCK_CHUNKS = f"""
+CASE WHEN length(text) = 0 THEN []
+ELSE list_transform(range(1, len({_DUCK_CUTS})),
+     j -> substr(text, ({_DUCK_CUTS})[j],
+                 ({_DUCK_CUTS})[j + 1] - ({_DUCK_CUTS})[j]))
+END
+"""
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk) — one row per content-defined
+    chunk. Pure Catalyst expression work: no Python, no shuffle; the
+    explode multiplies rows ~L/16 per document but each output row is
+    narrow."""
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(_SPARK_CHUNKS)).alias("chunk_idx", "chunk")
+    )
+
+
+@query(
+    "text_cdc_chunks",
+    f"""
+WITH ch AS (
+  SELECT doc_id, unnest({_DUCK_CHUNKS}) AS chunk FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(ch.chunk) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(MAX(length(ch.chunk)), 0) AS BIGINT) AS max_chunk_len,
+       ROUND(COALESCE(AVG(length(ch.chunk)), 0), 3) AS mean_chunk_len
+FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document chunk statistics under content-defined chunking:
+    how many chunks, the largest, and the mean length (expected ≈ 16
+    chars at the 1/16 boundary rate). The chunker is a single
+    whole-stage-codegen expression over the text column — the
+    boundary positions, cut points, and substrings never leave the
+    JVM — and the oracle evaluates the IDENTICAL windowed-md5 rule in
+    DuckDB, so chunk boundaries are verified bit-for-bit across
+    engines. Scale: embarrassingly parallel per document; no join, no
+    shuffle beyond the final per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = cdc_chunk_frame(docs)
+    stats = ch.groupBy("doc_id").agg(
+        F.count("chunk").cast("bigint").alias("n_chunks"),
+        F.max(F.length("chunk")).cast("bigint").alias("max_chunk_len"),
+        F.round(F.avg(F.length("chunk")), 3).alias("mean_chunk_len"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("max_chunk_len", F.lit(0)).alias("max_chunk_len"),
+            F.coalesce("mean_chunk_len", F.lit(0.0)).alias("mean_chunk_len"),
+        )
+    )
+
+
+@query(
+    "dedup_chunk_overlap",
+    f"""
+WITH ch AS (
+  SELECT doc_id, unnest({_DUCK_CHUNKS}) AS chunk FROM documents
+),
+h AS (
+  SELECT DISTINCT doc_id, md5(chunk) AS ch_md5
+  FROM ch WHERE length(chunk) >= 8
+),
+ok AS (
+  SELECT ch_md5 FROM h GROUP BY ch_md5
+  HAVING COUNT(*) BETWEEN 2 AND 50
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON a.ch_md5 = b.ch_md5 AND a.doc_id < b.doc_id
+  JOIN ok ON ok.ch_md5 = a.ch_md5
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+""",
+)
+def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level near-duplicate detection: documents sharing ≥ 2
+    content-defined chunks (each ≥ 8 chars, hashed) — the sub-document
+    dedup that catches copied paragraphs exact shingle dedup misses
+    when surrounding text differs. The join is an inverted index on
+    chunk hash; hashes shared by more than 50 documents are dropped
+    before pairing (the same stop-list lever as the capped shingle
+    ops: boilerplate chunks would otherwise make the posting-list
+    self-join quadratic at corpus scale, and a 50-doc-hot chunk is
+    boilerplate, not plagiarism evidence). All thresholds appear
+    verbatim in the oracle, so the pruning is verified, not waved
+    at."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = (
+        cdc_chunk_frame(docs)
+        .filter(F.length("chunk") >= 8)
+        .select("doc_id", F.md5("chunk").alias("ch_md5"))
+        .distinct()
+    )
+    ok = (
+        h.groupBy("ch_md5")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 50))
+        .select("ch_md5")
+    )
+    hh = h.join(ok, "ch_md5")
+    a = hh.select(F.col("doc_id").alias("doc_a"), "ch_md5")
+    b = hh.select(F.col("doc_id").alias("doc_b"), "ch_md5")
+    return (
+        a.join(b, "ch_md5")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Target-size output sharding: the "write ~N-MB files" production
+# contract, assigned deterministically from a byte-estimate prefix sum
+# so both engines can verify shard membership exactly.
+# ---------------------------------------------------------------------------
+
+_SHARD_TARGET = 64_000  # bytes per output shard (scaled-down stand-in)
+
+
+@query(
+    "layout_sized_shards",
+    f"""
+WITH est AS (
+  SELECT doc_id, n_chars + 64 AS est_bytes FROM documents
+),
+pre AS (
+  SELECT doc_id, est_bytes,
+         COALESCE(SUM(est_bytes) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM est
+)
+SELECT CAST(prefix // {_SHARD_TARGET} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(est_bytes) AS BIGINT) AS est_bytes,
+       CAST(1 AS BIGINT) AS n_files
+FROM pre
+GROUP BY 1
+ORDER BY shard
+""",
+)
+def layout_sized_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic target-size output sharding: every document gets
+    a byte estimate, the EXCLUSIVE prefix sum over doc_id order
+    assigns it to shard floor(prefix/target), and the table is
+    written hive-partitioned by shard with one task per shard — so
+    each shard directory holds exactly ONE file of ≈ target size (the
+    64 KB target is the scaled-down stand-in for the production
+    256-512 MB). The prefix sum is the two-pass range-partition form
+    (operators/keys.add_running_total): per-partition window sums in
+    parallel plus an O(partitions) driver prefix — no single-task
+    global window at any scale. The read-back audits the actual
+    layout via the _metadata hidden column and the oracle recomputes
+    shard membership exactly — n_files == 1 per shard is a VERIFIED
+    claim, not a hope."""
+    from whisky_wine_etl_spark.operators.keys import add_running_total
+
+    path = _scratch(spark, sf_dir, "sized_shards")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 64).alias("est_bytes")
+    )
+    sharded = add_running_total(
+        docs, ["doc_id"], "est_bytes", out_col="prefix", inclusive=False
+    ).withColumn(
+        "shard", (F.col("prefix") / F.lit(_SHARD_TARGET)).cast("bigint")
+    )
+    (
+        sharded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "shard", "est_bytes", F.col("_metadata.file_path").alias("fp")
+    )
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("est_bytes").cast("bigint").alias("est_bytes"),
+            F.countDistinct("fp").cast("bigint").alias("n_files"),
+        )
+        .orderBy("shard")
+    )
