@@ -1372,3 +1372,28 @@ def test_sized_shards_no_global_window(spark):
         frag = plan[m.start():m.start() + 400]
         assert "__pid" in frag or "partitionBy" in frag or ", [__pid" in frag, frag
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4as surface
+# ---------------------------------------------------------------------------
+
+
+def test_fs_linkage_blocks_never_cross_joins(spark):
+    """Candidate generation must be the nation-block equi-join; the
+    score is literal arithmetic (no Python, no ln() at query time)."""
+    df = plans.QUERIES["er_fellegi_sunter"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "LOG" not in plan.upper().replace("LOGICAL", "")
+
+
+def test_arrow_dim_broadcasts_against_fact(spark):
+    """The re-imported Arrow dimension must broadcast; the customer
+    side never shuffles for the join."""
+    df = plans.QUERIES["source_arrow_interchange"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,66 @@
+"""Behavior tests for round-4as: Fellegi-Sunter linkage, Arrow
+interchange, outer explode pack."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+plans.load_all()
+
+
+def test_fs_recovers_identity_pairs_with_high_precision(spark):
+    rows = plans.QUERIES["er_fellegi_sunter"](spark, SF).collect()
+    assert rows
+    true_links = [r for r in rows if r.is_true_match]
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    # recall: the perturbations touch at most 3 fields lightly; almost
+    # every identity pair must clear the threshold
+    assert len(true_links) >= 0.7 * n_cust
+    # precision: declared links are mostly the true pairs
+    assert len(true_links) / len(rows) >= 0.5
+    # every true-match score must beat the threshold by construction
+    assert all(r.fs_score > 4.0 for r in rows)
+
+
+def test_fs_score_monotone_in_agreements(spark):
+    """A pair agreeing on all three fields must outscore any pair
+    agreeing on fewer."""
+    rows = plans.QUERIES["er_fellegi_sunter"](spark, SF).collect()
+    import whisky_wine_etl_spark.plans.round4as as r4as
+
+    full = sum(r4as._FS_AGREE)
+    assert any(abs(r.fs_score - round(full, 4)) < 1e-9 for r in rows)
+    assert max(r.fs_score for r in rows) <= round(full, 4) + 1e-9
+
+
+def test_arrow_interchange_counts_match_sql(spark):
+    out = {
+        r.nation_uc: r.n_customers
+        for r in plans.QUERIES["source_arrow_interchange"](spark, SF).collect()
+    }
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    manual = {
+        r.nation_uc: r.n
+        for r in n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.upper("n_name").alias("nation_uc"))
+        .agg(F.count("c_custkey").alias("n"))
+        .collect()
+    }
+    assert out == manual
+    assert len(out) == 25
+
+
+def test_explode_outer_preserves_null_and_empty_parents(spark):
+    r = plans.QUERIES["func_explode_outer_pack"](spark, SF).collect()[0]
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    n_p = o.filter(F.col("o_orderstatus") == "P").count()
+    n_cheap = o.filter(
+        (F.col("o_orderstatus") != "P") & (F.col("o_totalprice") < 50000)
+    ).count()
+    assert r.n_preserved == n_p + n_cheap
+    assert r.n_outer == r.n_inner + r.n_preserved

@@ -1,0 +1,219 @@
+"""Round-4as: Fellegi-Sunter probabilistic record linkage, Arrow
+dimension interchange, and the outer-explode generator pack.
+
+Registered AFTER round4ar so the driver's unverified-first ordering
+keeps the earlier backlog in the front verification slots.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage: agreement-vector log-likelihood
+# scoring with fixed m/u probabilities — the decision theory behind
+# industrial ER (completing er_blocked_fuzzy_pairs /
+# er_deletion_neighborhood_join, which find CANDIDATES; this scores
+# them). The log-weights are precomputed Python literals so neither
+# engine evaluates ln() at query time — every score is a fixed-dot-
+# product over {0,1} agreement indicators, bit-stable across engines.
+# ---------------------------------------------------------------------------
+
+_FS_M = [0.95, 0.90, 0.85]  # P(field agrees | true match)
+_FS_U = [0.05, 0.10, 0.25]  # P(field agrees | non-match)
+_FS_AGREE = [math.log(m / u) for m, u in zip(_FS_M, _FS_U)]
+_FS_DISAGREE = [math.log((1 - m) / (1 - u)) for m, u in zip(_FS_M, _FS_U)]
+_FS_THRESHOLD = 4.0
+
+# the "dirty second source": deterministic perturbations of customer
+# (name truncated for every 3rd key, segment blanked for every 7th,
+# balance shifted for every 5th) — the oracle rebuilds the same B side
+_FS_B_SQL = """
+  SELECT c_custkey AS b_key, c_nationkey AS b_nat,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, length(c_name) - 1)
+              ELSE c_name END AS b_name,
+         CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS b_seg,
+         CASE WHEN c_custkey % 5 = 0
+              THEN ROUND(c_acctbal + 13.5, 2)
+              ELSE c_acctbal END AS b_bal
+  FROM customer
+"""
+
+
+def _fs_score_sql(a: str, b: str) -> str:
+    """The agreement-weighted score as portable SQL over aliased A/B
+    sides; weights are inlined full-precision literals."""
+    comps = [
+        f"substr({a}.c_name, 1, 6) = substr({b}.b_name, 1, 6)",
+        f"{a}.c_mktsegment = {b}.b_seg",
+        # FLOOR, not a bare cast: double->int casts ROUND in DuckDB
+        # but TRUNCATE in Spark; floor agrees everywhere
+        f"CAST(FLOOR({a}.c_acctbal * 0.01) AS BIGINT)"
+        f" = CAST(FLOOR({b}.b_bal * 0.01) AS BIGINT)",
+    ]
+    terms = [
+        # CAST: Spark parses bare decimal literals as DECIMAL; both
+        # engines must run the identical double arithmetic
+        f"CASE WHEN {c} THEN CAST({w_a!r} AS DOUBLE)"
+        f" ELSE CAST({w_d!r} AS DOUBLE) END"
+        for c, w_a, w_d in zip(comps, _FS_AGREE, _FS_DISAGREE)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "er_fellegi_sunter",
+    f"""
+WITH b AS ({_FS_B_SQL})
+SELECT a.c_custkey AS a_key, b.b_key,
+       ROUND({_fs_score_sql('a', 'b')}, 4) AS fs_score,
+       CAST(a.c_custkey = b.b_key AS BOOLEAN) AS is_true_match
+FROM customer a JOIN b ON a.c_nationkey = b.b_nat
+WHERE {_fs_score_sql('a', 'b')} > {_FS_THRESHOLD}
+""",
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage of customers against a deterministically
+    perturbed copy of themselves: candidate pairs come from nation
+    blocking (the same block-don't-cross-join discipline as the other
+    ER ops), each pair gets the classic sum of per-field log(m/u)
+    agreement weights (fixed m/u — the no-EM operating mode), and
+    pairs above the upper threshold are declared links. Ground truth
+    is carried in-row (is_true_match: the identity pairs the
+    perturbation started from), so precision is auditable directly
+    from the result. Scale: cost is Σ block² — blocking keys bound
+    the quadratic exactly as in er_blocked_fuzzy_pairs; scores are
+    fixed-literal arithmetic, no ln() at query time."""
+    a = load_table(spark, sf_dir, "customer").alias("a")
+    b = spark.sql(f"SELECT * FROM ({_FS_B_SQL.replace('customer', '{c}')})",
+                  c=load_table(spark, sf_dir, "customer")).alias("b")
+    score = F.expr(_fs_score_sql("a", "b"))
+    return (
+        a.join(b, F.col("a.c_nationkey") == F.col("b.b_nat"))
+        .filter(score > _FS_THRESHOLD)
+        .select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.b_key").alias("b_key"),
+            F.round(score, 4).alias("fs_score"),
+            (F.col("a.c_custkey") == F.col("b.b_key")).alias("is_true_match"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow interchange: dimension tables round-trip through pyarrow on
+# the driver (toArrow -> pyarrow.compute -> createDataFrame) — the
+# supported bridge to the Arrow ecosystem (polars, duckdb, pandas 2)
+# for O(dimension)-sized data, never the fact table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_arrow_interchange",
+    """
+SELECT upper(n.n_name) AS nation_uc,
+       CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY upper(n.n_name)
+ORDER BY nation_uc
+""",
+)
+def source_arrow_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow interchange surface end-to-end: the 25-row nation
+    dimension leaves Spark as a pyarrow Table (df.toArrow), is
+    transformed with pyarrow.compute on the driver (utf8_upper — a
+    stand-in for any Arrow-ecosystem enrichment: polars, a feature
+    store client, a reference-data service), and returns via
+    spark.createDataFrame(pyarrow.Table) to broadcast-join the
+    distributed customer table. Driver traffic is O(dimension) by
+    construction; the fact side never moves. The oracle computes the
+    same enrichment in SQL, proving the round-trip loses nothing."""
+    import pyarrow.compute as pc
+
+    nat = load_table(spark, sf_dir, "nation").toArrow()
+    enriched = nat.append_column("nation_uc", pc.utf8_upper(nat["n_name"]))
+    dim = spark.createDataFrame(enriched.select(["n_nationkey", "nation_uc"]))
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(dim)
+        .join(cust, cust.c_nationkey == dim.n_nationkey, "left")
+        .groupBy("nation_uc")
+        .agg(F.count("c_custkey").cast("bigint").alias("n_customers"))
+        .orderBy("nation_uc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer generators: explode_outer / posexplode_outer keep the parent
+# row when the collection is NULL or empty — the difference between
+# "no line items" disappearing from a report and showing as zero.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "func_explode_outer_pack",
+    """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN NULL
+              WHEN o_totalprice < 50000 THEN []
+              ELSE [o_orderkey % 10, o_orderkey % 7] END AS arr
+  FROM orders
+),
+inner_x AS (
+  SELECT s.o_orderkey, u.x
+  FROM src s, unnest(s.arr) AS u(x)
+),
+outer_x AS (
+  SELECT s.o_orderkey, u.x
+  FROM src s LEFT JOIN LATERAL (SELECT unnest(s.arr) AS x) u ON TRUE
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM inner_x) AS n_inner,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM outer_x) AS n_outer,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM outer_x WHERE x IS NULL)
+         AS n_preserved,
+       (SELECT CAST(COALESCE(SUM(x), 0) AS BIGINT) FROM inner_x) AS x_sum
+""",
+)
+def func_explode_outer_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer over a column that is NULL for some
+    parents and empty for others: the outer form must emit exactly
+    one NULL-element row per such parent (n_preserved), while inner
+    explode drops them — the semantics that decide whether zero-line
+    parents survive a report. One scan feeds both counts; the oracle
+    phrases outer explode as DuckDB's LEFT JOIN LATERAL unnest."""
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("array<bigint>"))
+        .when(F.col("o_totalprice") < 50000, F.array().cast("array<bigint>"))
+        .otherwise(
+            F.array(F.col("o_orderkey") % 10, F.col("o_orderkey") % 7)
+        )
+        .alias("arr"),
+    )
+    inner = src.select(F.explode("arr").alias("x"))
+    outer = src.select(F.explode_outer("arr").alias("x"))
+    return (
+        inner.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inner"),
+            F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("x_sum"),
+        )
+        .crossJoin(
+            outer.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_outer"),
+                F.count(F.when(F.col("x").isNull(), 1))
+                .cast("bigint")
+                .alias("n_preserved"),
+            )
+        )
+        .select("n_inner", "n_outer", "n_preserved", "x_sum")
+    )
