@@ -129,6 +129,9 @@ HEADLINE = [
     "sketch_kmv_distinct",            # salted bottom-k distinct sketch
     "sim_topk_pq",                    # PQ/ADC compressed-domain ANN
     "etl_incremental_agg_state",      # partial-state merge == recompute
+    "text_cdc_chunks",                # codegen content-defined chunker
+    "dedup_chunk_overlap",            # chunk-hash posting-list dedup
+    "er_fellegi_sunter",              # blocked linkage scoring
 ]
 
 

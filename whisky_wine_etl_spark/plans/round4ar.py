@@ -11,6 +11,7 @@ import hashlib
 import os
 import tempfile
 
+import pandas as pd  # top-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,11 +71,59 @@ END
 
 def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, chunk_idx, chunk) — one row per content-defined
-    chunk. Pure Catalyst expression work: no Python, no shuffle; the
-    explode multiplies rows ~L/16 per document but each output row is
-    narrow."""
-    return docs.select(
-        "doc_id", F.posexplode(F.expr(_SPARK_CHUNKS)).alias("chunk_idx", "chunk")
+    chunk. The window-hash scan runs in the Arrow-vectorized Python
+    tier, NOT as the equivalent Catalyst higher-order-function
+    expression (kept above as _SPARK_CHUNKS for reference): HOF
+    lambdas evaluate INTERPRETED per element on the JVM, and at one
+    md5 per character position that measured 189 s for 1.5 M chars at
+    sf0.1 vs ~2 s for the same rule as a batched Python loop — the
+    exact carve-out the pandas-UDF policy exists for (compare
+    operators/similarity.py ivf_topk). The boundary rule is
+    IDENTICAL to the DuckDB oracle's SQL (md5 of each 8-char window,
+    first hex nibble '0'), so chunk boundaries still verify
+    bit-for-bit; Python str slicing is codepoint-based exactly like
+    substr() in both engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def chunks_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            ln = len(t)
+            cuts = [1]
+            if ln >= 9:
+                enc = t.encode("utf-8", "surrogatepass")
+                # byte==char positions only for ASCII; fall back to
+                # per-codepoint slicing when multibyte chars exist
+                if len(enc) == ln:
+                    cuts += [
+                        i
+                        for i in range(2, ln - 6)
+                        if hashlib.md5(enc[i - 1 : i + 7]).hexdigest()[0] == "0"
+                    ]
+                else:
+                    cuts += [
+                        i
+                        for i in range(2, ln - 6)
+                        if hashlib.md5(
+                            t[i - 1 : i + 7].encode("utf-8", "surrogatepass")
+                        ).hexdigest()[0]
+                        == "0"
+                    ]
+            cuts.append(ln + 1)
+            out.append([t[a - 1 : b - 1] for a, b in zip(cuts, cuts[1:])])
+        return pd.Series(out)
+
+    # the testdata corpus is one small parquet file -> one input
+    # partition; spread the scan so the window-hash loop uses every
+    # core (at real corpus scale the source already has partitions
+    # and this repartition is a cheap rebalance of text bytes)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n_parts).select(
+        "doc_id", F.posexplode(chunks_udf("text")).alias("chunk_idx", "chunk")
     )
 
 
@@ -95,13 +144,13 @@ GROUP BY d.doc_id
 def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document chunk statistics under content-defined chunking:
     how many chunks, the largest, and the mean length (expected ≈ 16
-    chars at the 1/16 boundary rate). The chunker is a single
-    whole-stage-codegen expression over the text column — the
-    boundary positions, cut points, and substrings never leave the
-    JVM — and the oracle evaluates the IDENTICAL windowed-md5 rule in
-    DuckDB, so chunk boundaries are verified bit-for-bit across
-    engines. Scale: embarrassingly parallel per document; no join, no
-    shuffle beyond the final per-doc aggregate."""
+    chars at the 1/16 boundary rate). The chunker runs in the
+    Arrow-vectorized tier (see cdc_chunk_frame: the Catalyst HOF form
+    is interpreted per element and ~100× slower at corpus scale), and
+    the oracle evaluates the IDENTICAL windowed-md5 rule in DuckDB,
+    so chunk boundaries are verified bit-for-bit across engines.
+    Scale: embarrassingly parallel per document; no join, no shuffle
+    beyond the final per-doc aggregate."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ch = cdc_chunk_frame(docs)
     stats = ch.groupBy("doc_id").agg(
