@@ -1397,3 +1397,31 @@ def test_arrow_dim_broadcasts_against_fact(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4av surface
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_intersection_no_python_no_cartesian(spark):
+    """Union sketch + membership joins stay JVM-side equi-joins; the
+    only crossJoins are 1-row scalar frames."""
+    df = plans.QUERIES["sketch_kmv_intersection"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_vault_aggregates_over_tokens_only(spark):
+    """The aggregate runs on the tokenized frame: c_name must appear
+    only after the final vault join, never in the aggregate keys."""
+    df = plans.QUERIES["privacy_tokenization_vault"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    aggs = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    # the aggregate groups on tok, not on the name column
+    for pos in aggs:
+        frag = plan[pos:pos + 200]
+        assert "keys=[tok" in frag or "keys=[]" in frag or "c_name" not in frag
+    assert "BatchEvalPython" not in plan

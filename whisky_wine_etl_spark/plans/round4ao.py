@@ -145,6 +145,23 @@ _HEX12 = " + ".join(
     for i in range(12)
 )
 
+def bottom_k(frame: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """k lexicographically smallest `hx` per `grp`, as a partial
+    per-salt top-k then an exact top-k on the ≤16k survivors — k
+    smallest of (k smallest per bucket) == global k smallest, and no
+    single task ever sorts a whole group's hashes. Shared by the KMV
+    cardinality and intersection sketches."""
+    salted = frame.withColumn("salt", F.pmod(F.xxhash64("hx"), F.lit(16)))
+    wp = Window.partitionBy("grp", "salt").orderBy("hx")
+    part = (
+        salted.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= k)
+        .drop("salt", "prk")
+    )
+    wf = Window.partitionBy("grp").orderBy("hx")
+    return part.withColumn("rk", F.row_number().over(wf)).filter(F.col("rk") <= k)
+
+
 _KMV_SQL = f"""
 WITH d AS (
   SELECT DISTINCT l_returnflag AS grp, l_partkey FROM lineitem
@@ -212,23 +229,6 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     d = li.select(F.col("l_returnflag").alias("grp"), "l_partkey").distinct()
     h = d.select("grp", F.md5(F.col("l_partkey").cast("string")).alias("hx"))
-
-    def bottom_k(frame: DataFrame) -> DataFrame:
-        # partial per-salt top-k, then exact top-k on the survivors:
-        # k smallest of (k smallest per bucket) == global k smallest
-        salted = frame.withColumn("salt", F.pmod(F.xxhash64("hx"), F.lit(16)))
-        wp = Window.partitionBy("grp", "salt").orderBy("hx")
-        part = (
-            salted.withColumn("prk", F.row_number().over(wp))
-            .filter(F.col("prk") <= _KMV_K)
-            .drop("salt", "prk")
-        )
-        wf = Window.partitionBy("grp").orderBy("hx")
-        return (
-            part.withColumn("rk", F.row_number().over(wf))
-            .filter(F.col("rk") <= _KMV_K)
-        )
-
     per_group = bottom_k(h)
     merged = bottom_k(
         h.select(F.lit("__all").alias("grp"), "hx").distinct()
