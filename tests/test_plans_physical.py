@@ -1425,3 +1425,28 @@ def test_vault_aggregates_over_tokens_only(spark):
         frag = plan[pos:pos + 200]
         assert "keys=[tok" in frag or "keys=[]" in frag or "c_name" not in frag
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4aw surface
+# ---------------------------------------------------------------------------
+
+
+def test_cogroup_asof_single_shuffle_per_side(spark):
+    """The cogroup must plan as FlatMapCoGroupsInPandas with one hash
+    exchange per side on user_id — no extra sort-merge join."""
+    df = plans.QUERIES["join_asof_cogroup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_isotonic_bins_aggregate_before_driver(spark):
+    """The only driver-bound data is the <=50-bin aggregate; scoring
+    and the calibrated join stay distributed."""
+    df = plans.QUERIES["ml_isotonic_calibration"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

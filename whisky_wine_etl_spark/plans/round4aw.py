@@ -1,0 +1,198 @@
+"""Round-4aw: co-grouped pandas as-of join and isotonic calibration.
+
+Registered AFTER round4av so the driver's unverified-first ordering
+keeps the earlier backlog in the front verification slots.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # top-level so applyInPandas closures resolve
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.plans.registry import query
+
+
+@query(
+    "join_asof_cogroup",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+r0 AS (SELECT user_id, ts, event_id, value FROM events
+       WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, ts,
+         max_by(event_id, event_id) AS purchase_event_id,
+         max_by(value, event_id) AS purchase_value
+  FROM r0 GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.purchase_event_id, r.ts AS purchase_ts, r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as join_asof_last_purchase, computed
+    through the OTHER distributed mechanism Spark offers:
+    groupby().cogroup().applyInPandas with pd.merge_asof per key —
+    both sides shuffle once on user_id, each co-group meets in one
+    Arrow batch, and pandas does the per-key ordered backward search.
+    This is the right tool when the per-key logic outgrows window
+    algebra (multi-column tolerances, nearest-by-custom-metric);
+    here it pins the cogroup API against the native-SQL oracle. Right
+    side is pre-deduped per (user, ts) keeping the max event_id so
+    tie behavior is engine-independent. Scale: one shuffle per side,
+    per-key memory = that key's rows (same contract as any cogroup)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    # the timestamp is renamed BEFORE the cogroup: FlatMapCoGroups
+    # deduplicates attributes by NAME across the two sides, so a
+    # right-side column shadowed by a left-side 'ts' silently vanishes
+    # from the pandas frame (found by the cross-operator parity test)
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.expr("max_by(event_id, event_id)").alias("purchase_event_id"),
+            F.expr("max_by(value, event_id)").alias("purchase_value"),
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "purchase_event_id",
+            "purchase_value",
+        )
+    )
+
+    out_cols = [
+        "event_id", "user_id", "ts", "purchase_event_id",
+        "purchase_ts", "purchase_value",
+    ]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            # a key with purchases but no errors contributes nothing;
+            # return a typed empty frame (merge_asof chokes on some
+            # empty-left shapes)
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "purchase_event_id": pd.Series(dtype="float64"),
+                    "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                    "purchase_value": pd.Series(dtype="float64"),
+                }
+            )
+        lpdf = lpdf.sort_values("ts", kind="mergesort")
+        if rpdf.empty:
+            # empty co-group sides can arrive column-less: pad the
+            # left rows with nulls BEFORE any column access on rpdf
+            out = lpdf.copy()
+            out["purchase_event_id"] = pd.Series(dtype="float64")
+            out["purchase_ts"] = pd.Series(dtype="datetime64[us]")
+            out["purchase_value"] = pd.Series(dtype="float64")
+            return out[out_cols]
+        rpdf = rpdf.sort_values("purchase_ts", kind="mergesort")
+        out = pd.merge_asof(
+            lpdf,
+            rpdf.drop(columns=["user_id"]),
+            left_on="ts",
+            right_on="purchase_ts",
+            direction="backward",
+        )
+        return out[out_cols]
+
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id long, user_id long, ts timestamp, "
+                "purchase_event_id long, purchase_ts timestamp, "
+                "purchase_value double"
+            ),
+        )
+    )
+
+
+@query("ml_isotonic_calibration")  # PAVA has no SQL twin -> rows-only
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration by pool-adjacent-violators: a raw score
+    (scaled account balance) predicts whether a customer has a
+    >150k order; scores bucket into 50 fixed bins (one distributed
+    aggregate), PAVA runs over the ≤50 collected bins on the driver
+    (bounded O(bins) work, the same discipline as IVF training), and
+    the monotone calibrated rate broadcasts back onto the bins. The
+    classic post-hoc calibrator when Platt scaling's sigmoid shape is
+    wrong. Properties pinned in tests: output monotone nondecreasing
+    in score, pool rates = weighted means of their members, global
+    weighted mean preserved. Rows-only driver check (PAVA's
+    sequential pooling has no SQL twin); companion
+    ml_calibration_bins carries the exact-oracle uncalibrated view."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") > 150000.0)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    scored = (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .select(
+            ((F.col("c_acctbal") + 1000.0) / 12000.0).alias("score"),
+            F.coalesce("label", F.lit(0)).alias("label"),
+        )
+        .withColumn(
+            "bin",
+            F.least(F.lit(49), F.greatest(F.lit(0), (F.col("score") * 50).cast("int"))),
+        )
+    )
+    bins = (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+        .orderBy("bin")
+        .collect()  # <= 50 rows: bounded driver-side PAVA input
+    )
+    # pool-adjacent-violators over (rate, weight)
+    pools: list[list[float]] = []  # [sum_pos, sum_n, first_bin]
+    for r in bins:
+        pools.append([float(r.pos), float(r.n), r.bin])
+        while len(pools) > 1 and (
+            pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]
+        ):  # rate[-2] > rate[-1] in exact cross-multiplied integers
+            a = pools.pop()
+            pools[-1][0] += a[0]
+            pools[-1][1] += a[1]
+    iso = {}
+    for pi, (p_pos, p_n, first_bin) in enumerate(pools):
+        last_bin = pools[pi + 1][2] - 1 if pi + 1 < len(pools) else 49
+        for bn in range(int(first_bin), int(last_bin) + 1):
+            iso[bn] = p_pos / p_n
+    iso_df = spark.createDataFrame(
+        [(bn, rate) for bn, rate in sorted(iso.items())], "bin int, iso_rate double"
+    )
+    per_bin = (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("label") / F.count(F.lit(1))).alias("raw_rate"),
+        )
+    )
+    return (
+        per_bin.join(F.broadcast(iso_df), "bin")
+        .select(
+            "bin",
+            "n",
+            F.round("raw_rate", 6).alias("raw_rate"),
+            F.round("iso_rate", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
