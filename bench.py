@@ -129,9 +129,14 @@ HEADLINE = [
     "sketch_kmv_distinct",            # salted bottom-k distinct sketch
     "sim_topk_pq",                    # PQ/ADC compressed-domain ANN
     "etl_incremental_agg_state",      # partial-state merge == recompute
-    "text_cdc_chunks",                # codegen content-defined chunker
+    "text_cdc_chunks",                # Arrow-tier content-defined chunker
     "dedup_chunk_overlap",            # chunk-hash posting-list dedup
     "er_fellegi_sunter",              # blocked linkage scoring
+    "join_asof_cogroup",              # cogroup + merge_asof per key
+    "privacy_tokenization_vault",     # tokenize -> agg -> reidentify
+    "sketch_kmv_intersection",        # bottom-k union intersection est
+    "sort_global_contract",           # range-partition total order proof
+    "func_timezone_pack",             # DST-aware local-hour bucketing
 ]
 
 
