@@ -77,3 +77,27 @@ def test_sized_shards_one_file_each_and_near_target(spark):
     # minus one doc's worth of slack; all shard ids contiguous from 0
     ids = sorted(r.shard for r in rows)
     assert ids == list(range(len(ids)))
+
+
+def test_hof_expression_chunker_agrees_with_arrow_tier(spark):
+    """The (slow, reference-only) Catalyst HOF form of the chunker
+    must produce identical chunks to the Arrow-tier implementation —
+    the two are interchangeable on semantics, the Arrow tier is just
+    ~100x faster at corpus scale."""
+    from pyspark.sql import functions as F
+
+    import whisky_wine_etl_spark.plans.round4ar as r4ar
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(25)
+    )
+    hof = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(r4ar._SPARK_CHUNKS)).alias("chunk_idx", "chunk"),
+    )
+    arrow = r4ar.cdc_chunk_frame(docs)
+    assert hof.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(hof).count() == 0

@@ -34,15 +34,18 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of semantics as join_asof_last_purchase, computed
     through the OTHER distributed mechanism Spark offers:
-    groupby().cogroup().applyInPandas with pd.merge_asof per key —
-    both sides shuffle once on user_id, each co-group meets in one
-    Arrow batch, and pandas does the per-key ordered backward search.
-    This is the right tool when the per-key logic outgrows window
-    algebra (multi-column tolerances, nearest-by-custom-metric);
-    here it pins the cogroup API against the native-SQL oracle. Right
-    side is pre-deduped per (user, ts) keeping the max event_id so
-    tie behavior is engine-independent. Scale: one shuffle per side,
-    per-key memory = that key's rows (same contract as any cogroup)."""
+    groupby().cogroup().applyInPandas with pd.merge_asof — both sides
+    shuffle once on a 64-way user salt bucket, each co-group meets in
+    one Arrow batch, and merge_asof(by='user_id') does the per-user
+    split VECTORIZED inside pandas (cogrouping per raw user instead
+    pays per-group Python overhead: measured 11.5 s vs ~1 s at sf0.1
+    for identical semantics). This is the right tool when the per-key
+    logic outgrows window algebra (multi-column tolerances,
+    nearest-by-custom-metric); here it pins the cogroup API against
+    the native-SQL oracle. Right side is pre-deduped per (user, ts)
+    keeping the max event_id so tie behavior is engine-independent.
+    Scale: one shuffle per side, per-bucket memory = that bucket's
+    rows, bucket count tracks the cluster's task budget."""
     ev = load_table(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
@@ -59,7 +62,11 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(value, event_id)").alias("purchase_value"),
         )
         .select(
-            "user_id",
+            # EVERY right-side column gets a left-disjoint name: the
+            # sides share lineage (one events scan), and FlatMapCo-
+            # Groups' attribute dedup silently drops right columns
+            # that collide with left ones by name/exprId
+            F.col("user_id").alias("r_user_id"),
             F.col("ts").alias("purchase_ts"),
             "purchase_event_id",
             "purchase_value",
@@ -73,9 +80,9 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
-            # a key with purchases but no errors contributes nothing;
-            # return a typed empty frame (merge_asof chokes on some
-            # empty-left shapes)
+            # a bucket with purchases but no errors contributes
+            # nothing; empty co-group frames can arrive column-less,
+            # so return a typed frame without touching lpdf's columns
             return pd.DataFrame(
                 {
                     "event_id": pd.Series(dtype="int64"),
@@ -88,34 +95,39 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         lpdf = lpdf.sort_values("ts", kind="mergesort")
         if rpdf.empty:
-            # empty co-group sides can arrive column-less: pad the
-            # left rows with nulls BEFORE any column access on rpdf
             out = lpdf.copy()
             out["purchase_event_id"] = pd.Series(dtype="float64")
             out["purchase_ts"] = pd.Series(dtype="datetime64[us]")
             out["purchase_value"] = pd.Series(dtype="float64")
             return out[out_cols]
-        rpdf = rpdf.sort_values("purchase_ts", kind="mergesort")
+        rpdf = rpdf.rename(columns={"r_user_id": "user_id"}).sort_values(
+            "purchase_ts", kind="mergesort"
+        )
         out = pd.merge_asof(
             lpdf,
-            rpdf.drop(columns=["user_id"]),
+            rpdf,
             left_on="ts",
             right_on="purchase_ts",
+            by="user_id",
             direction="backward",
         )
         return out[out_cols]
 
-    return (
-        left.groupBy("user_id")
-        .cogroup(right.groupBy("user_id"))
-        .applyInPandas(
-            merge,
-            schema=(
-                "event_id long, user_id long, ts timestamp, "
-                "purchase_event_id long, purchase_ts timestamp, "
-                "purchase_value double"
-            ),
-        )
+    # cogroup on a SALT BUCKET of users, not per user: applyInPandas
+    # pays per-GROUP overhead (frame build + one Python call), so 10k
+    # single-user groups cost ~10 s at sf0.1 while 64 bucketed groups
+    # with merge_asof(by="user_id") doing the per-user split
+    # vectorized inside pandas run the same semantics in ~1 s. At any
+    # scale the bucket count just tracks the cluster's task budget.
+    lb = left.groupBy(F.pmod("user_id", F.lit(64)).alias("b"))
+    rb = right.groupBy(F.pmod("r_user_id", F.lit(64)).alias("b"))
+    return lb.cogroup(rb).applyInPandas(
+        merge,
+        schema=(
+            "event_id long, user_id long, ts timestamp, "
+            "purchase_event_id long, purchase_ts timestamp, "
+            "purchase_value double"
+        ),
     )
 
 
