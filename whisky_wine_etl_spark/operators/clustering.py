@@ -9,9 +9,10 @@ iteration is the k×d centroid matrix (k·d floats, independent of the
 corpus size — the classic Lloyd's-on-MapReduce contract).
 
 Scale design:
-- Assignment is map-only: the k×d centroids are embedded in the plan
-  as array literals (k·d ≤ a few thousand floats), and the argmin is
-  a fold over `aggregate`/`zip_with` — whole-stage codegen, no Python.
+- Assignment is map-only: the k×d centroids ship in the Arrow UDF's
+  closure (k·d ≤ a few thousand floats) and each batch scores with
+  ONE (batch × k) matmul — the sanctioned Arrow-vectorized tier, not
+  interpreted HOF expression folds (see kmeans_assign).
 - The update step is one partial-aggregated groupBy of the
   (cluster, dim) exploded pairs: each task pre-aggregates k·d partial
   (sum, count) cells, so the shuffle is O(tasks · k · d), not O(rows).
@@ -24,38 +25,50 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
-    """Squared L2 distance between an array column and a literal
-    centroid, entirely in codegen: zip_with squared diffs, then a
-    sum fold."""
-    lit_arr = F.array(*[F.lit(float(x)) for x in centroid])
-    diffs = F.zip_with(F.col(vec_col), lit_arr, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-
 def kmeans_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    """Add `cluster` (argmin centroid) and `sq_dist` columns.
+    """Add `cluster` (argmin centroid) and `sq_dist` columns via one
+    Arrow-batched numpy pass: per batch, distances come from a single
+    (batch × k) matmul (||x||² − 2xCᵀ + ||c||²) and np.argmin ties
+    toward the lower cluster id.
 
-    The argmin is `array_min` over (distance, index) structs — struct
-    ordering is lexicographic, so exact-equal distances tie toward the
-    lower cluster id. Each distance expression appears ONCE in the
-    plan (a chained `when` fold would duplicate subtrees
-    exponentially in k)."""
-    ds = F.array(
-        *[
-            F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    best = F.array_min(ds)
+    The earlier zip_with/aggregate expression form was dropped for
+    the same reason as the CDC chunker's (plans/round4ar.py): HOF
+    lambdas evaluate INTERPRETED per element, costing ~k·d interpreted
+    ops per row per pass — measured ~4 s for 5 passes over 20 k×64
+    vectors at sf0.1 vs well under a second for the same math as one
+    BLAS call per batch (the documented Pandas-UDF carve-out,
+    operators/similarity.py:ivf_topk)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.float64)  # (k, d)
+    c_sq = (cmat * cmat).sum(axis=1)  # (k,)
+
+    @pandas_udf("struct<cluster: int, sq_dist: double>")
+    def assign_udf(v: pd.Series) -> pd.DataFrame:
+        xs = np.array(v.to_list(), dtype=np.float64)  # (n, d)
+        d2 = (
+            (xs * xs).sum(axis=1, keepdims=True)
+            - 2.0 * (xs @ cmat.T)
+            + c_sq[None, :]
+        )
+        best = d2.argmin(axis=1)  # ties -> lower cluster id
+        return pd.DataFrame(
+            {
+                "cluster": best.astype("int32"),
+                "sq_dist": d2[np.arange(len(best)), best],
+            }
+        )
+
     return (
-        df.withColumn("__best", best)
-        .withColumn("cluster", F.col("__best.i"))
-        .withColumn("sq_dist", F.col("__best.d"))
+        df.withColumn("__best", assign_udf(vec_col))
+        .withColumn("cluster", F.col("__best.cluster"))
+        .withColumn("sq_dist", F.col("__best.sq_dist"))
         .drop("__best")
     )
 
@@ -116,9 +129,6 @@ def pca_project(
     largest-|coordinate| entry positive, so the output is
     deterministic up to float summation order (parity-tested vs
     numpy, registered rows-only like the other iterative/FP ops)."""
-    import numpy as np
-    import pandas as pd
-
     d = len(df.select(vec_col).first()[0])
 
     def partials(batches):
