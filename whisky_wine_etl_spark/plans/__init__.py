@@ -81,3 +81,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4az  # noqa: F401
     from whisky_wine_etl_spark.plans import round4ba  # noqa: F401
     from whisky_wine_etl_spark.plans import round4bb  # noqa: F401
+    from whisky_wine_etl_spark.plans import round4bc  # noqa: F401
