@@ -137,6 +137,16 @@ HEADLINE = [
     "sketch_kmv_intersection",        # bottom-k union intersection est
     "sort_global_contract",           # range-partition total order proof
     "func_timezone_pack",             # DST-aware local-hour bucketing
+    "privacy_t_closeness",            # QI-group TVD privacy audit
+    "graph_sssp_weighted",            # frontier Bellman-Ford
+    "ts_holt_linear",                 # per-key sequential fold (cogroup tier)
+    "alloc_capped_proportional",      # int64 water-filling quota
+    "dedup_url_canonical",            # URL canonicalize + hash dedup
+    "events_shapley_attribution",     # coalition game on user-grain pass
+    "sim_mmr_rerank",                 # MMR diversity re-rank
+    "ml_cox_ph",                      # survival regression (range windows)
+    "sim_kcenter_greedy",             # farthest-first coverage seeding
+    "func_inet_pack",                 # IPv4 parse + subnet rollup
 ]
 
 
