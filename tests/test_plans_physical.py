@@ -670,28 +670,29 @@ def test_k_anonymity_rollup_expands_with_partial_agg(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_clustering_coeff_reuses_persisted_edges(spark):
+def test_clustering_coeff_reuses_materialized_edges(spark):
     """Degrees, triangles, and per-node counts all read the ONE
-    persisted edge list — five InMemoryTableScans (deg×2, tri×3), so
-    the quadratic edge build runs exactly once. (The parquet path
-    still appears in the plan text as the InMemoryRelation's cached
-    recipe — only the InMemoryTableScan nodes execute.)"""
+    localCheckpointed edge list — five ExistingRDD scans (deg×2,
+    tri×3), so the quadratic edge build runs exactly once, and the
+    parquet source appears nowhere in the executed plan. (Was
+    persist()-based until round 5 — localCheckpoint blocks free on GC
+    instead of leaking per call, ADVICE r4.)"""
     df = plans.QUERIES["graph_clustering_coeff"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 5
-    spark.catalog.clearCache()
+    assert plan.count("Scan ExistingRDD") >= 5
+    assert "lineitem.parquet" not in plan
 
 
 def test_centroid_affinity_single_corpus_pass(spark):
     """The embeddings parquet feeds exactly one explode+aggregate
-    (the persisted centroid frame); pair join and norms run on the
-    640-row cache with the norm maps broadcast."""
+    (the localCheckpointed centroid frame); pair join and norms run
+    on the 640-row materialization with the norm maps broadcast."""
     df = plans.QUERIES["sim_centroid_affinity"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 3  # x, y, and the norm build
+    assert plan.count("Scan ExistingRDD") >= 3  # x, y, and the norm build
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan
-    spark.catalog.clearCache()
+    assert "embeddings.parquet" not in plan
 
 
 def test_funnel_latency_pushes_type_filters_to_scan(spark):

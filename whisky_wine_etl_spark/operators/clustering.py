@@ -49,9 +49,7 @@ def kmeans_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> 
     cmat = np.array(centroids, dtype=np.float64)  # (k, d)
     c_sq = (cmat * cmat).sum(axis=1)  # (k,)
 
-    @pandas_udf("struct<cluster: int, sq_dist: double>")
-    def assign_udf(v: pd.Series) -> pd.DataFrame:
-        xs = np.array(v.to_list(), dtype=np.float64)  # (n, d)
+    def _assign_dense(xs: np.ndarray) -> pd.DataFrame:
         d2 = (
             (xs * xs).sum(axis=1, keepdims=True)
             - 2.0 * (xs @ cmat.T)
@@ -64,6 +62,39 @@ def kmeans_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> 
                 "sq_dist": d2[np.arange(len(best)), best],
             }
         )
+
+    @pandas_udf("struct<cluster: int, sq_dist: double>")
+    def assign_udf(v: pd.Series) -> pd.DataFrame:
+        # Guard rails (ADVICE r4): an empty Arrow batch gives
+        # np.array([]) with no axis=1, and null/ragged vectors break
+        # the (n, d) shape — return a typed empty frame / propagate
+        # nulls as null rows instead of raising.
+        if len(v) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.array([], dtype="int32"),
+                    "sq_dist": pd.array([], dtype="float64"),
+                }
+            )
+        d = cmat.shape[1]
+        valid = v.map(
+            lambda x: x is not None and len(x) == d
+        ).to_numpy(dtype=bool)
+        if valid.all():
+            return _assign_dense(np.array(v.to_list(), dtype=np.float64))
+        out = pd.DataFrame(
+            {
+                "cluster": pd.array([None] * len(v), dtype="Int32"),
+                "sq_dist": pd.array([None] * len(v), dtype="Float64"),
+            }
+        )
+        if valid.any():
+            sub = _assign_dense(
+                np.array(v[valid].to_list(), dtype=np.float64)
+            )
+            out.loc[valid, "cluster"] = sub["cluster"].to_numpy()
+            out.loc[valid, "sq_dist"] = sub["sq_dist"].to_numpy()
+        return out
 
     return (
         df.withColumn("__best", assign_udf(vec_col))

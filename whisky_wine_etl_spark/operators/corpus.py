@@ -452,10 +452,13 @@ def source_drift_tv(
         F.col(domain_col).alias("domain"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    # three consumers below — persist or the corpus-wide explode+agg
-    # recomputes once per branch (the union-of-selects trap)
+    # three consumers below — materialize or the corpus-wide explode+agg
+    # recomputes once per branch (the union-of-selects trap);
+    # localCheckpoint so the blocks free on GC instead of leaking
     dom_term = (
-        terms.groupBy("domain", "term").agg(F.count(F.lit(1)).alias("c_dt")).persist()
+        terms.groupBy("domain", "term")
+        .agg(F.count(F.lit(1)).alias("c_dt"))
+        .localCheckpoint()
     )
     dom_tot = dom_term.groupBy("domain").agg(F.sum("c_dt").alias("n_d"))
     term_tot = dom_term.groupBy("term").agg(F.sum("c_dt").alias("c_t"))

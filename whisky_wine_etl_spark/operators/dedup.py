@@ -109,7 +109,7 @@ def jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     if prefix_filter:
-        sh = sh.persist()
+        sh = sh.localCheckpoint()  # GC-cleaned (ADVICE r4)
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__freq"))
         ranked = sh.join(F.broadcast(freq), "shingle").withColumn(
             "__rn",
@@ -278,14 +278,15 @@ def minhash_lsh_pairs(
     sh = (
         shingle_hash_arrays(df, text_col, id_col, n)
         .withColumn("hp_arr", F.expr(f"transform(sh_arr, h -> pmod(h, {MERSENNE31}L))"))
-        .persist()
+        .localCheckpoint()
     )
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, sh=sh)
     n_bands = num_hashes // rows_per_band
     # band bucket = xxhash64 of the band's signature slice; one
     # posexplode over a small generated array, not n_bands struct exprs.
-    # PERSISTED: the candidate step below is a self-join — without the
-    # cache each side would recompute the full signature pass.
+    # LOCALCHECKPOINTED: the candidate step below is a self-join —
+    # unmaterialized, each side would recompute the full signature pass
+    # (blocks free on GC, unlike persist — ADVICE r4).
     bands = sigs.select(
         id_col,
         F.posexplode(
@@ -294,7 +295,7 @@ def minhash_lsh_pairs(
                 f"bi -> xxhash64(slice(mh, bi * {rows_per_band} + 1, {rows_per_band})))"
             )
         ).alias("band", "bucket"),
-    ).persist()
+    ).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (

@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from whisky_wine_etl_spark.functions.vector import cosine
 
 
+def _mat(v: pd.Series, d: int) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list-column batch.
+
+    An EMPTY Arrow batch is legal (a partition can deliver zero rows
+    after a filter) but ``np.array([])`` is 1-D — the downstream
+    ``axis=1`` reductions and matmuls would raise (ADVICE r4). Shape
+    the empty case explicitly. Null/ragged vectors are excluded by the
+    operators' entry-point ``isNotNull`` filters, so inside the UDFs
+    the batch is dense."""
+    if len(v) == 0:
+        return np.zeros((0, d), dtype=np.float64)
+    return np.array(v.to_list(), dtype=np.float64)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,6 +122,8 @@ def ivf_topk(
     exactly the carve-out the Pandas-UDF policy exists for."""
     from pyspark.sql.functions import pandas_udf
 
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
 
     # Normalized centroid matrix captured in the UDF closures —
@@ -115,7 +131,7 @@ def ivf_topk(
     cmat = _train_centroid_matrix(corpus, n_lists, kmeans_iters, vec_col, id_col)
 
     def _centroid_sims(v: pd.Series) -> np.ndarray:
-        xs = np.array(v.to_list(), dtype=np.float64)
+        xs = _mat(v, cmat.shape[1])
         xn = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
         return xn @ cmat.T  # (batch, n_lists)
 
@@ -134,6 +150,8 @@ def ivf_topk(
 
     @pandas_udf("double")
     def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:  # empty Arrow batch (ADVICE r4)
+            return pd.Series([], dtype="float64")
         xs = np.array(a.to_list(), dtype=np.float64)
         ys = np.array(b.to_list(), dtype=np.float64)
         num = np.einsum("ij,ij->i", xs, ys)
@@ -212,7 +230,7 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int, multiprobe: b
 
     @pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
-        x = np.array(v.to_list(), dtype=np.float64)  # (n, dim)
+        x = _mat(v, dim)  # (n, dim)
         proj = x @ p.T  # (n, T*b)
         bits = (proj > 0).astype(np.int64).reshape(len(x), n_tables, n_planes)
         sig = bits @ weights  # (n, T)
@@ -255,6 +273,8 @@ def lsh_topk(
     t·2^b + sig) come from one Arrow-batched matmul per side — see
     _bucket_udf for the measured rationale vs the literal-expression
     formulation."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     corpus_buckets = _bucket_udf(dim, n_planes, n_tables, seed, multiprobe=False)
     query_buckets = _bucket_udf(dim, n_planes, n_tables, seed, multiprobe=True)
     c = corpus.select(
@@ -391,11 +411,12 @@ def semantic_dedup(
 
     from whisky_wine_etl_spark.operators.dedup import connected_components
 
+    df = df.where(F.col(vec_col).isNotNull())
     cmat = _train_centroid_matrix(df, n_lists, kmeans_iters, vec_col, id_col)
 
     @pandas_udf("array<int>")
     def assign_udf(v: pd.Series) -> pd.Series:
-        xs = np.array(v.to_list(), dtype=np.float64)
+        xs = _mat(v, cmat.shape[1])
         xn = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
         s = xn @ cmat.T
         top = np.argsort(-s, axis=1, kind="stable")[:, :n_probe] + 1
@@ -403,6 +424,8 @@ def semantic_dedup(
 
     @pandas_udf("double")
     def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:  # empty Arrow batch (ADVICE r4)
+            return pd.Series([], dtype="float64")
         xs = np.array(a.to_list(), dtype=np.float64)
         ys = np.array(b.to_list(), dtype=np.float64)
         num = np.einsum("ij,ij->i", xs, ys)
@@ -562,11 +585,13 @@ def pq_topk(
 
     from whisky_wine_etl_spark.functions.vector import dot, norm
 
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     books = _train_pq_codebooks(corpus, m, ks, kmeans_iters, vec_col, id_col)
     sub = books.shape[2]
 
     def _norm_rows(v: pd.Series) -> np.ndarray:
-        xs = np.array(v.to_list(), dtype=np.float64)
+        xs = _mat(v, m * sub)
         return xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
 
     @pandas_udf("array<int>")

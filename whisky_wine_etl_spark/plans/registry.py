@@ -31,6 +31,44 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, SparkQuery] = {}
 ORACLES: dict[str, str] = {}
 
+# THE authoritative rows-only carve-out list (VERDICT r4 item 5).
+# Every name here registers with oracle=None and gets the driver's
+# weaker rows-only check; everything else MUST carry an exact DuckDB
+# oracle. tests/test_registry_contract.py asserts this list equals
+# the computed set(QUERIES) - set(ORACLES) — keep them in lockstep,
+# and keep SURVEY.md pointing HERE instead of restating the list.
+ROWS_ONLY_CARVE_OUTS: frozenset[str] = frozenset(
+    {
+        # approx sketches — outputs are estimator-dependent by design;
+        # exact-twin/range tests bound them instead
+        "agg_approx_count_distinct",
+        "agg_approx_percentile",
+        "agg_hll_partial_union",
+        # LSH / probabilistic candidate generation — recall vs exact
+        # twins is asserted in tests, the candidate set itself is
+        # hash-seed-dependent
+        "dedup_canonical_summary_lsh",
+        "dedup_clusters_lsh",
+        "dedup_embedding_cosine_lsh",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_topk_lsh",
+        # sample-trained k-means index families — FP-iteration order
+        # in centroid training is engine-specific; recall/variance
+        # tests vs exact twins bound them
+        "dedup_semantic",
+        "sim_kmeans_lloyd",
+        "sim_pca_project",
+        "sim_topk_ivf",
+        "sim_topk_mips",
+        "sim_topk_pq",
+        # iterative numeric algorithm whose pool-adjacent-violators
+        # merge order SQL can't replay faithfully; cross-checked
+        # against a naive PAVA in tests
+        "ml_isotonic_calibration",
+    }
+)
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -902,7 +902,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # ONE orderkey shuffle (basket emission, operators/graph.py) — no
     # fact-table self-join
-    e = copurchase_edges(li).persist()
+    # localCheckpoint: GC-cleaned blocks, no cross-call cache leak (ADVICE r4)
+    e = copurchase_edges(li).localCheckpoint()
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = ab.join(bc, F.col("ab.pb") == F.col("bc.pa")).join(
         ac,

@@ -172,7 +172,7 @@ def source_json_corrupt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("columnNameOfCorruptRecord", "_bad")
         .json(path)
     )
-    back = back.persist()
+    back = back.localCheckpoint()  # materializes (corrupt-col rule) AND is GC-cleaned
     return back.agg(
         F.count(F.when(F.col("_bad").isNull(), 1)).cast("bigint").alias("n_good"),
         F.count(F.when(F.col("_bad").isNotNull(), 1)).cast("bigint").alias("n_corrupt"),

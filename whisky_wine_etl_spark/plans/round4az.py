@@ -91,7 +91,10 @@ def ml_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = raw.crossJoin(F.broadcast(mx)).select(
         "y", (F.col("xr") - F.col("mx")).alias("x"), "mx"
     )
-    d.persist()
+    # localCheckpoint, not persist: blocks are freed when the RDD is
+    # GC'd (persist() entries leak until an explicit unpersist the
+    # lazy return contract has no place for — ADVICE r4).
+    d = d.localCheckpoint()
     betas = mx.select(F.col("lb").alias("b0"), F.lit(0.0).alias("b1"))
     mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
     for _ in range(3):

@@ -197,7 +197,8 @@ st{k} AS (
     SELECT nation, rev_c, a, capped,
            CASE WHEN capped = 1 THEN CAST(0 AS BIGINT)
                 ELSE CAST(
-                  (({budget} - (SELECT SUM(a) FROM st{p})) * rev_c)
+                  (CAST({budget} - (SELECT SUM(a) FROM st{p}) AS HUGEINT)
+                   * rev_c)
                   // (SELECT SUM(rev_c) FROM st{p} WHERE capped = 0)
                 AS BIGINT) END AS inc
     FROM st{p}
@@ -241,10 +242,16 @@ def alloc_capped_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible exactly).
 
     All state is BIGINT cents: revenue is exact (2 dp prices × 100),
-    each round's increment is floor(remaining · rev / uncapped_rev)
-    via int64 multiply + integer division (products bounded ≈1e18,
-    inside int64) — the allocation is bit-exact on every engine with
-    NO floating-point involvement at all.
+    each round's increment is floor(remaining · rev / uncapped_rev).
+    The multiply is widened to DECIMAL(38,0) on Spark / HUGEINT on
+    the oracle: at sf0.1 per-nation rev_c ≈ 1.5e11 cents, so
+    remaining·rev_c ≈ 1.5e19 EXCEEDS int64 (this overflowed under
+    ANSI at sf0.1 until round 5; bound grows linearly with sf —
+    ~1.5e21 at sf=10, comfortably inside 38 digits). Spark's
+    IntegralDivide on decimals uses divideToIntegralValue (exact),
+    DuckDB's ``//`` on HUGEINT is exact floor division; both operands
+    are non-negative so truncation == floor and the allocation stays
+    bit-exact on every engine with NO floating-point involvement.
     Scale: the data-sized work is one groupBy to the 25-row nation
     frame; the redistribution rounds are scalar subquery folds over
     that bounded frame, broadcast either way."""
@@ -278,8 +285,8 @@ def alloc_capped_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("capped") == 1, F.lit(0).cast("bigint"))
             .otherwise(
                 F.expr(
-                    f"(({_BUDGET_CENTS} - alloc_tot) * rev_c)"
-                    " div uncapped_rev"
+                    f"(CAST({_BUDGET_CENTS} - alloc_tot AS DECIMAL(38,0))"
+                    " * rev_c) div uncapped_rev"
                 ).cast("bigint")
             )
             .alias("inc"),

@@ -129,7 +129,7 @@ def ml_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dur") > 0)
     )
-    d.persist()
+    d = d.localCheckpoint()  # GC-cleaned, unlike persist (ADVICE r4)
     betas = d.sparkSession.range(1).select(F.lit(0.0).alias("b"))
     wdesc = W.orderBy(F.col("dur").desc()).rangeBetween(
         W.unboundedPreceding, W.currentRow

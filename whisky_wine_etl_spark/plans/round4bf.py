@@ -93,7 +93,7 @@ def sim_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nn")
     )
-    emb.persist()
+    emb = emb.localCheckpoint()  # GC-cleaned, unlike persist (ADVICE r4)
     first = emb.agg(F.min("vec_id").alias("vec_id")).select(
         "vec_id", F.lit(1).alias("rnk"), F.lit(0.0).alias("dnear")
     )

@@ -78,7 +78,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # ONE orderkey shuffle (basket emission, operators/graph.py)
-    e = copurchase_edges(li).persist()
+    e = copurchase_edges(li).localCheckpoint()  # GC-cleaned (ADVICE r4)
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionAll(e.select(F.col("pb").alias("node")))
@@ -165,7 +165,7 @@ def sim_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val"))
         .groupBy("label", "dim")
         .agg(F.avg("val").alias("cv"))
-        .persist()
+        .localCheckpoint()
     )
     n = c.groupBy("label").agg(F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("nrm"))
     x, y = c.alias("x"), c.alias("y")

@@ -98,14 +98,14 @@ def sim_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = kept.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nz"))
-    # persisted: both sides of the posting self-join read this frame —
-    # unpersisted, Catalyst would recompute the tokenize+tf+df subtree
-    # twice (caller releases via clearCache per the registry contract)
+    # localCheckpointed: both sides of the posting self-join read this
+    # materialized frame (else Catalyst recomputes the tokenize+tf+df
+    # subtree twice); blocks are GC-cleaned, no cross-call leak
     unit = (
         kept.join(nrm, "doc_id")
         .filter(F.col("nz") > 0)
         .select("doc_id", "term", (F.col("w") / F.col("nz")).alias("u"))
-        .persist()
+        .localCheckpoint()
     )
     a = unit.select(
         F.col("doc_id").alias("doc_a"), F.col("term").alias("term"), F.col("u").alias("ua")

@@ -102,7 +102,7 @@ def ml_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = raw.crossJoin(F.broadcast(mx)).select(
         "y", (F.col("xr") - F.col("mx")).alias("x"), "mx"
     )
-    d.persist()
+    d = d.localCheckpoint()  # GC-cleaned, unlike persist (ADVICE r4)
     betas = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
     p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
     for _ in range(3):

@@ -378,8 +378,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisky_wine_etl_spark.operators.graph import copurchase_edges
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = copurchase_edges(li, both_directions=True)
-    edges.persist()
+    edges = copurchase_edges(li, both_directions=True).localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("d")
     )

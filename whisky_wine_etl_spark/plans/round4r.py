@@ -178,7 +178,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc_all = bi.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("double").alias("nab")
-    ).persist()
+    ).localCheckpoint()
     pc = pc_all.where(F.col("nab") >= 5)
     # totals and marginals over the FULL bigram table, not the
     # supported subset — p(ab) and p(a)p(b) must share one denominator

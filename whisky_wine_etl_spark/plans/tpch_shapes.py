@@ -576,7 +576,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
         .select("l_orderkey", "l_suppkey")
-    ).persist()
+    ).localCheckpoint()
     all_pairs = li.select(
         F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
     ).distinct()
@@ -674,7 +674,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "ps_supplycost")
-        .persist()
+        .localCheckpoint()
     )
     cheapest = (
         eu.groupBy("ps_partkey")
@@ -802,7 +802,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v")
         )
-        .persist()
+        .localCheckpoint()
     )
     tot = asia.agg(F.sum("v").alias("total_v"))
     return (

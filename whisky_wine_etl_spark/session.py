@@ -5,6 +5,18 @@ partition coalescing), UTC session timezone, Arrow enabled for the few
 Pandas-UDF extension paths, shuffle partitions sized to the local core
 count rather than the 200 default. On a real cluster the same builder
 applies — only master/memory change.
+
+ANSI contract (pinned in round 5): ``spark.sql.ansi.enabled`` is set to
+TRUE explicitly in both ``get_spark`` and ``tune_session`` so the engine
+never depends on the host default. The engine is ANSI-clean by
+construction — every lossy cast in the query surface goes through
+``try_cast``/``try_divide``/``try_to_*`` (the reference's T-1
+``to_numeric(errors='coerce')`` semantics map to ``try_cast`` exactly,
+so ANSI-on does not change wine-pipeline behavior), and scale-dependent
+integer arithmetic is widened to DECIMAL(38,0) where products can
+exceed int64 (see ``plans/round4ba.py``). ANSI-on is the safe posture:
+a genuine overflow fails loudly instead of wrapping silently into a
+wrong-but-green answer.
 """
 
 from __future__ import annotations
@@ -29,6 +41,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -45,6 +58,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     Only touches confs that are safe to set mid-session.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
