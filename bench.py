@@ -147,6 +147,15 @@ HEADLINE = [
     "ml_cox_ph",                      # survival regression (range windows)
     "sim_kcenter_greedy",             # farthest-first coverage seeding
     "func_inet_pack",                 # IPv4 parse + subnet rollup
+    # round-5a additions — each verified oracle-green at sf0.1 AND
+    # timed (<2.5 s warm) BEFORE being appended here, per the round-4
+    # bench-hygiene rule. graph_jaccard_capped is NOT listed: like its
+    # uncapped twin it is Σdeg²-bound on this uniform synthetic graph
+    # (~20 s at sf0.1, priced in its docstring).
+    "ts_ewma_time_decay",             # half-life decay via exact 2^k prefix
+    "join_bitemporal_asof",           # two-axis point-in-time lookup
+    "er_sorted_neighborhood",         # rank-window blocking, join-free
+    "ml_silhouette_labeled",          # centroid silhouette (6dp-pinned)
 ]
 
 
