@@ -36,17 +36,18 @@ def copurchase_edges(
     pair.
     """
     baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    # Pair emission via DOUBLE EXPLODE + filter, not nested transform/
+    # filter lambdas: higher-order-function lambdas evaluate INTERPRETED
+    # per element while explode stays in whole-stage codegen — measured
+    # at sf0.1 the HOF form costs 1.8 s vs 0.9 s for this one (round-5
+    # rewrite; same trade as the CDC chunker and k-means assignment).
+    # Emitting n² transient pairs instead of n²/2 is free at basket
+    # widths (orders are ≤7 parts); the pa<pb filter runs inside the
+    # same codegen stage, so nothing wider ever materializes.
     e1 = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts,"
-                    " x -> transform(filter(parts, y -> y > x),"
-                    " y -> named_struct('pa', x, 'pb', y))))"
-                )
-            ).alias("e")
-        )
-        .select("e.pa", "e.pb")
+        baskets.select(F.explode("parts").alias("pa"), "parts")
+        .select("pa", F.explode("parts").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
     )
     if distinct:
         e1 = e1.distinct()
