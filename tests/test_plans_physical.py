@@ -1452,3 +1452,50 @@ def test_isotonic_bins_aggregate_before_driver(spark):
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bitemporal_pushes_valid_time_into_scan(spark):
+    """join_bitemporal_asof: the valid-time bound must reach the
+    parquet scan as a data filter (at 100 TB this is the difference
+    between reading the ledger tail and the whole ledger); the txn cap
+    arrives via a 1-row broadcast; no Python in the plan."""
+    df = plans.QUERIES["join_bitemporal_asof"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "2024-01-15" in plan  # pushed into DataFilters
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cap crossJoin
+    assert "BatchEvalPython" not in plan
+
+
+def test_sorted_neighborhood_is_join_free(spark):
+    """er_sorted_neighborhood: candidate pairs come from lead() over
+    ONE segment-partitioned window — no join operator, exactly one
+    exchange (the segment shuffle)."""
+    df = plans.QUERIES["er_sorted_neighborhood"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
+    assert plan.count("Exchange") <= 2  # segment shuffle (+AQE read)
+    assert "BatchEvalPython" not in plan
+
+
+def test_silhouette_centroid_join_broadcasts(spark):
+    """ml_silhouette_labeled: the k·d centroid frame must broadcast
+    into the distance join (the corpus side never reshuffles on dim),
+    and the whole plan stays JVM-side."""
+    df = plans.QUERIES["ml_silhouette_labeled"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ewma_time_decay_two_shuffles_of_partials(spark):
+    """ts_ewma_time_decay: exactly the groupBy-(user,day) exchange and
+    the window-(user) exchange — both carry DAILY-GRAIN partials, never
+    raw events (map-side partial agg first; collapsing to one shuffle
+    would require shuffling raw rows by user, strictly worse at scale)."""
+    df = plans.QUERIES["ts_ewma_time_decay"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
