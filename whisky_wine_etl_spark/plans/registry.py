@@ -9,15 +9,18 @@ Queries with no SQL-expressible oracle (LSH, streaming state, approx
 sketches) register with oracle=None → the driver records a weaker
 rows-only check.
 
-Cache policy: a registered query may persist() intermediates that its
-RETURNED (lazy) frame still references — Q2's regional partsupp, the
-MinHash band scan, Q21's late pairs. The operator cannot unpersist
-those before the caller materializes the result, so the contract is:
-callers running many registered queries in one session release them
-between queries via spark.catalog.clearCache() (parity.py and
-bench.py both do). Operators that materialize internally
-(connected_components, semantic_dedup) unpersist their own caches
-before returning.
+Cache policy (revised round 5): a registered query that needs a
+multi-referenced intermediate (Q2's regional partsupp, the MinHash
+band scan, Q21's late pairs, the graph edge lists) materializes it
+with localCheckpoint(), NOT persist() — a persist() inside a
+lazy-returning query has no place to unpersist and leaks a
+CacheManager entry per call, while localCheckpoint blocks are freed
+when the RDD is garbage-collected. persist() remains only where the
+operator itself runs the final action and can unpersist before
+returning (connected_components, semantic_dedup). Callers running
+many queries in one session still clearCache() + gc.collect() between
+queries (parity.py and bench.py both do) so checkpoint RDD refs drop
+promptly.
 """
 
 from __future__ import annotations
