@@ -97,11 +97,16 @@ def run_suite(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, s
         except Exception as e:  # noqa: BLE001
             results[name] = f"ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}"
         results[name] += f" [{time.monotonic() - t0:.2f}s]"
-        # cache policy: operator-internal persist()s back LAZY return
-        # frames, so operators cannot unpersist them before the caller
-        # materializes — the HARNESS releases them between queries so a
-        # full-registry session never accumulates unbounded storage
+        # cache policy (registry.py docstring): queries materialize
+        # multi-referenced intermediates via localCheckpoint, whose
+        # blocks free on RDD GC — so force the Python GC to drop py4j
+        # refs promptly, and clearCache() for the few operator-scoped
+        # persists, so a full-registry session never accumulates
+        # unbounded executor storage
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
     return results
 
 
