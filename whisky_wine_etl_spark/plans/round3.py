@@ -1244,17 +1244,13 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
     )
+    # double explode + src<dst filter, not nested HOF lambdas: explode
+    # stays in whole-stage codegen while transform/filter lambdas
+    # interpret per element (round-5 rewrite, same as copurchase_edges)
     e1 = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts,"
-                    " x -> transform(filter(parts, y -> y > x),"
-                    " y -> named_struct('src', x, 'dst', y))))"
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .distinct()
     )
     edges = (

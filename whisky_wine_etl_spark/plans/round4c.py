@@ -521,17 +521,13 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_counts = baskets.select(
         F.explode("parts").alias("l_partkey")
     ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    # double explode + != filter, not nested HOF lambdas: explode is
+    # whole-stage codegen while transform/filter lambdas interpret per
+    # element (the round-5 copurchase_edges rewrite, same 2x)
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts,"
-                    " x -> transform(filter(parts, y -> y != x),"
-                    " y -> named_struct('antecedent', x, 'consequent', y))))"
-                )
-            ).alias("e")
-        )
-        .select("e.antecedent", "e.consequent")
+        baskets.select(F.explode("parts").alias("antecedent"), "parts")
+        .select("antecedent", F.explode("parts").alias("consequent"))
+        .filter(F.col("antecedent") != F.col("consequent"))
         .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 3)
