@@ -502,10 +502,13 @@ def graph_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") / (F.col("du") + F.col("dv") - F.col("c"))).alias("jac"),
         )
     )
-    rk = F.row_number().over(W.orderBy(F.col("jac").desc(), "u", "v"))
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # top-50 then a 50-row driver merge; a global row_number window
+    # here would funnel the ENTIRE pair set into one task (the
+    # uncapped twin round4p already uses this shape)
     return (
-        j.withColumn("rk", rk)
-        .filter(F.col("rk") <= 50)
+        j.orderBy(F.col("jac").desc(), "u", "v")
+        .limit(50)
         .select(
             F.col("u").alias("part_a"),
             F.col("v").alias("part_b"),
