@@ -1466,16 +1466,23 @@ def test_bitemporal_pushes_valid_time_into_scan(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_sorted_neighborhood_is_join_free(spark):
-    """er_sorted_neighborhood: candidate pairs come from lead() over
-    ONE segment-partitioned window — no join operator, exactly one
-    exchange (the segment shuffle)."""
+def test_sorted_neighborhood_scales_without_segment_sort(spark):
+    """er_sorted_neighborhood: the rank must NOT come from a window
+    partitioned only by segment (n/|segments| rows in one sort task at
+    100 TB) — it comes from the two-pass range-partitioned surrogate
+    key (materialized: Scan ExistingRDD), and pair adjacency is a hash
+    equi-join on the dense unique sk. Every Window node in the plan is
+    partitioned by __pid (the parallel per-partition numbering), never
+    unpartitioned or segment-partitioned."""
     df = plans.QUERIES["er_sorted_neighborhood"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-              "BroadcastNestedLoopJoin", "CartesianProduct"):
-        assert j not in plan, j
-    assert plan.count("Exchange") <= 2  # segment shuffle (+AQE read)
+    assert "Scan ExistingRDD" in plan  # materialized ranged frame
+    assert "HashJoin" in plan or "SortMergeJoin" in plan  # sk equi-join
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+    for line in plan.splitlines():
+        if line.strip().startswith("Window") or " Window " in line:
+            assert "__pid" in line, f"non-pid window: {line.strip()[:120]}"
     assert "BatchEvalPython" not in plan
 
 

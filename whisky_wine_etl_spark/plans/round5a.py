@@ -253,46 +253,59 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen — wide enough to emit candidates at every test SF; the
     window bound, not the gap filter, is what caps the work).
 
-    The engine generates pairs with lead(1)/lead(2) over ONE window —
-    no self-join, no second shuffle: each row emits its ≤2 forward
-    neighbors, exactly the (b.rn − a.rn ∈ [1,2]) pair set the oracle
-    reaches relationally. Scale: candidates are ≤ 2n regardless of
-    how many near-equal balances pile up (the failure mode of
-    key-equality blocking), the sort key is the shuffle key, and the
-    window partition (segment) bounds each sort. bal_gap is a 2dp
-    difference of 2dp inputs — exact."""
+    Scale shape (the whole point of SNB): a window partitioned only
+    by segment would sort n/|segments| rows in ONE task — fine at test
+    SF, broken at 100 TB. Instead the global rank comes from the
+    two-pass range-partition surrogate-key pattern
+    (operators/keys.py:add_surrogate_key — range shuffle, parallel
+    per-partition numbering, O(partitions) driver prefix), ordered by
+    (segment, acctbal, custkey) so each segment occupies one
+    contiguous sk block; rank-adjacency is then TWO equi-joins on the
+    dense unique sk (sk+1, sk+2 — hash joins with zero skew by
+    construction), and pairs whose sk-neighbor crossed a segment
+    boundary drop out at the same-segment filter — exactly the
+    (b.rn − a.rn ∈ [1,2]) within-segment pair set the oracle reaches
+    with a window. Candidates stay ≤ 2n regardless of how many
+    near-equal balances pile up (the failure mode of key-equality
+    blocking). bal_gap is a 2dp difference of 2dp inputs — exact."""
+    from whisky_wine_etl_spark.operators.keys import add_surrogate_key
+
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    lead = c.select(
+    r = add_surrogate_key(
+        c, ["c_mktsegment", "c_acctbal", "c_custkey"], key_col="sk"
+    )
+    a = r.select(
+        F.col("sk").alias("sk_a"),
         F.col("c_mktsegment").alias("segment"),
         F.col("c_custkey").alias("cust_a"),
         F.col("c_nationkey").alias("nat_a"),
         F.col("c_acctbal").alias("bal_a"),
-        F.array(
-            *[
-                F.struct(
-                    F.lead("c_custkey", i).over(w).alias("cust_b"),
-                    F.lead("c_nationkey", i).over(w).alias("nat_b"),
-                    F.lead("c_acctbal", i).over(w).alias("bal_b"),
-                )
-                for i in (1, 2)
-            ]
-        ).alias("nbrs"),
     )
-    p = lead.select(
-        "segment", "cust_a", "nat_a", "bal_a", F.explode("nbrs").alias("n")
+    b = r.select(
+        F.col("sk").alias("sk_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_acctbal").alias("bal_b"),
     )
-    return p.filter(
-        F.col("n.cust_b").isNotNull()
-        & (F.col("n.bal_b") - F.col("bal_a") <= 100.0)
-        & (F.col("nat_a") == F.col("n.nat_b"))
-    ).select(
-        "segment",
-        "cust_a",
-        F.col("n.cust_b").alias("cust_b"),
-        F.round(F.col("n.bal_b") - F.col("bal_a"), 2).alias("bal_gap"),
+    probe = a.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2))).alias("__d")
+    ).withColumn("sk_b", F.col("sk_a") + F.col("__d"))
+    return (
+        probe.join(b, "sk_b")
+        .filter(
+            (F.col("segment") == F.col("seg_b"))
+            & (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("bal_b") - F.col("bal_a") <= 100.0)
+        )
+        .select(
+            "segment",
+            "cust_a",
+            "cust_b",
+            F.round(F.col("bal_b") - F.col("bal_a"), 2).alias("bal_gap"),
+        )
     )
 
 
