@@ -154,8 +154,15 @@ HEADLINE = [
     # (~20 s at sf0.1, priced in its docstring).
     "ts_ewma_time_decay",             # half-life decay via exact 2^k prefix
     "join_bitemporal_asof",           # two-axis point-in-time lookup
-    "er_sorted_neighborhood",         # rank-window blocking, join-free
+    "er_sorted_neighborhood",         # rank-window blocking via surrogate keys
     "ml_silhouette_labeled",          # centroid silhouette (6dp-pinned)
+    # round-5b additions, same pre-flight rule (sf0.1-verified + timed).
+    # stat_hodges_lehmann is NOT listed: its calendar² Walsh frame +
+    # distributed median selection runs ~4 s at sf0.1 (priced in its
+    # docstring), dominated by materializing 2.9M pairs.
+    "stat_logrank_test",              # two-cohort survival comparison
+    "ml_pr_curve_ap",                 # PR curve on the 11-row score histogram
+    "alloc_knapsack_greedy",          # budgeted greedy via 2-pass running total
 ]
 
 
