@@ -163,6 +163,7 @@ HEADLINE = [
     "stat_logrank_test",              # two-cohort survival comparison
     "ml_pr_curve_ap",                 # PR curve on the 11-row score histogram
     "alloc_knapsack_greedy",          # budgeted greedy via 2-pass running total
+    "sim_dbscan_embedding",           # grid DBSCAN + star-CC (~5.6 s: iterative band)
 ]
 
 

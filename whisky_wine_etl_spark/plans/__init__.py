@@ -87,3 +87,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round4bf  # noqa: F401
     from whisky_wine_etl_spark.plans import round5a  # noqa: F401
     from whisky_wine_etl_spark.plans import round5b  # noqa: F401
+    from whisky_wine_etl_spark.plans import round5c  # noqa: F401
