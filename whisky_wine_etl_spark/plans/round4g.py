@@ -109,7 +109,7 @@ WITH h AS (
 ),
 c AS (
   SELECT hour, cnt,
-         SUM(cnt) OVER (ORDER BY hour) AS cum_cnt,
+         CAST(SUM(cnt) OVER (ORDER BY hour) AS BIGINT) AS cum_cnt,
          CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) AS t
   FROM h
 ),
@@ -117,9 +117,8 @@ tot AS (
   SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_hours
   FROM h
 )
-SELECT hour, cnt, cum_cnt,
-       ROUND(CAST(n_hours * cum_cnt - t * total AS DOUBLE) / n_hours, 6)
-         AS cusum_dev,
+SELECT epoch_us(hour) AS hour_us, cnt, cum_cnt,
+       CAST(n_hours * cum_cnt - t * total AS BIGINT) AS cusum_num,
        (100 * ABS(n_hours * cum_cnt - t * total) > 2 * total * n_hours)
          AS drift_flag
 FROM c CROSS JOIN tot
@@ -130,15 +129,17 @@ def ts_cusum_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deviation of the cumulative count from the uniform-rate
     expectation t·total/n_hours, flagged when it exceeds 2% of total.
 
-    All comparisons run on the INTEGER numerator
-    n_hours·cum − t·total (one exact division only for the reported
-    `cusum_dev`), so there is no float-accumulation drift between the
-    two-pass distributed prefix sum and the oracle's sequential
-    window. Scale plan: the hourly pre-aggregate is map-side
-    combinable and collapses the fact to ≤ #hours rows; the running
-    total uses the range-partition two-pass (operators/keys) instead
-    of a single-task global window; totals arrive via a 1-row
-    broadcast cross join."""
+    The r5 driver red row traced to the one non-integer output
+    (`cusum_dev`, a bare 6-dp ROUND on DOUBLE) and the raw TIMESTAMP
+    hour column, so the query is now ALL-INTEGER: the hour is emitted
+    as epoch microseconds (BIGINT, the repo's unix_micros/epoch_us
+    twin discipline) and the deviation as its exact BIGINT numerator
+    n_hours·cum − t·total — no division, no float, nothing for the
+    two hashers to disagree on. Scale plan: the hourly pre-aggregate
+    is map-side combinable and collapses the fact to ≤ #hours rows;
+    the running total uses the range-partition two-pass
+    (operators/keys) instead of a single-task global window; totals
+    arrive via a 1-row broadcast cross join."""
     h = (
         _t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"))
@@ -156,10 +157,10 @@ def ts_cusum_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(tot))
         .select(
-            "hour",
+            F.unix_micros("hour").alias("hour_us"),
             "cnt",
             F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
-            F.round(num.cast("double") / F.col("n_hours"), 6).alias("cusum_dev"),
+            num.cast("bigint").alias("cusum_num"),
             (100 * F.abs(num) > 2 * F.col("total") * F.col("n_hours")).alias(
                 "drift_flag"
             ),
