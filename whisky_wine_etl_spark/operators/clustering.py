@@ -124,8 +124,13 @@ def kmeans_fit_assign(
         assigned = kmeans_assign(df, vec_col, centroids)
         # (cluster, dim) cells partial-aggregate inside each task: the
         # shuffle carries O(partitions·k·d) cells, never O(rows).
+        # Null/ragged vectors come back from kmeans_assign with a NULL
+        # cluster (ADVICE r5) — they must not reach the driver-side
+        # new_c[cluster] indexing, so the update step drops them; the
+        # final assignment below still emits them with NULL cluster.
         cells = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            assigned.filter(F.col("cluster").isNotNull())
+            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(F.avg("x").alias("m"))
             .collect()

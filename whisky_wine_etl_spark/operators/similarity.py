@@ -28,9 +28,12 @@ def _mat(v: pd.Series, d: int) -> np.ndarray:
     An EMPTY Arrow batch is legal (a partition can deliver zero rows
     after a filter) but ``np.array([])`` is 1-D — the downstream
     ``axis=1`` reductions and matmuls would raise (ADVICE r4). Shape
-    the empty case explicitly. Null/ragged vectors are excluded by the
-    operators' entry-point ``isNotNull`` filters, so inside the UDFs
-    the batch is dense."""
+    the empty case explicitly. NULL vectors are excluded by the
+    operators' entry-point ``isNotNull`` filters; a RAGGED
+    (wrong-length) vector is NOT screened here (ADVICE r5) — it would
+    build an object array and fail the downstream matmul loudly. The
+    embeddings source contract is fixed-width; callers feeding
+    untrusted widths must pre-filter ``size(vec) == d``."""
     if len(v) == 0:
         return np.zeros((0, d), dtype=np.float64)
     return np.array(v.to_list(), dtype=np.float64)

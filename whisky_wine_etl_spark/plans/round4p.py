@@ -221,7 +221,7 @@ def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH lt AS (
   SELECT user_id,
-         CAST(floor(epoch(MAX(ts) - MIN(ts)) / 3600.0) AS BIGINT) AS dur,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000 AS dur,
          CASE WHEN MAX(ts) > (SELECT MAX(ts) FROM events) - INTERVAL 6 HOUR
               THEN 0 ELSE 1 END AS observed
   FROM events GROUP BY user_id
@@ -259,7 +259,11 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier curve over per-user lifetimes (hours between first
     and last event; the synthetic corpus spans ~3 days, so hours are
     the natural grain), censoring users whose last event falls in the
-    final 6 hours of the corpus. One groupBy(user) builds lifetimes,
+    final 6 hours of the corpus. Lifetimes are exact integer floor
+    division of the µs span (unix_micros / epoch_us twins — ts carries
+    microseconds, so per-timestamp second truncation would bucket a
+    near-hour-multiple lifetime differently per engine; ADVICE r5).
+    One groupBy(user) builds lifetimes,
     one groupBy(duration) collapses to the distinct-duration table
     (calendar-bounded, not data-sized), a reverse cumulative sum
     yields the risk sets, and the product Π(1 - d/n) runs as a
@@ -273,14 +277,10 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
         .crossJoin(F.broadcast(mx))
         .select(
-            F.floor(
-                (
-                    F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
-                )
-                / 3600.0
-            )
-            .cast("bigint")
-            .alias("dur"),
+            F.expr(
+                "(unix_micros(last_ts) - unix_micros(first_ts))"
+                " div 3600000000"
+            ).alias("dur"),
             F.when(
                 F.col("last_ts") > F.col("mx") - F.expr("INTERVAL 6 HOUR"), 0
             )

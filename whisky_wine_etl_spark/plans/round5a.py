@@ -88,7 +88,10 @@ def ts_ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-order-dependent FP sum in the chain; its true value has 2dp,
     so the pin is lossless), making the whole prefix bit-identical on
     both engines before the final 6dp rounding. Bound: 2^day overflows double past day 1023 —
-    ~2.8 years of data on this rebase date; for longer horizons rebase
+    ~2.8 years of data on this rebase date; the bound is ENFORCED
+    (ADVICE r5): a 1-row broadcast horizon check raise_error()s the
+    query past day 1022 instead of letting both engines emit identical
+    Inf rows that would hash-verify green. For longer horizons rebase
     per segment and carry the boundary score (same identity as
     ts_ewma_user's 64-row segments). Scale: the window is per-user
     over the ~day-count-sized daily series, never the raw event
@@ -115,6 +118,21 @@ def ts_ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # loud horizon guard: the guard rides the value expression (not a
+    # pruned-away side column), so day ≥ 1023 fails the job instead of
+    # silently overflowing pow(2, day) to +Inf on BOTH engines
+    hz = d.agg(F.max("day").alias("max_day"))
+    d = d.crossJoin(F.broadcast(hz)).withColumn(
+        "v",
+        F.when(F.col("max_day") < 1023, F.col("v")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "ts_ewma_time_decay: horizon >= 1023 days overflows "
+                    "pow(2, day); rebase per segment"
+                )
+            )
+        ),
+    ).drop("max_day")
     p = d.select(
         "user_id",
         "day",

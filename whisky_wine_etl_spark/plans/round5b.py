@@ -46,7 +46,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
 WITH lt AS (
   SELECT user_id % 2 AS grp,
-         CAST(floor(epoch(MAX(ts) - MIN(ts)) / 3600.0) AS BIGINT) AS dur,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000 AS dur,
          CASE WHEN MAX(ts) > (SELECT MAX(ts) FROM events) - INTERVAL 6 HOUR
               THEN 0 ELSE 1 END AS observed
   FROM events GROUP BY user_id
@@ -88,7 +88,10 @@ def stat_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id parity, duration/censoring identical to
     stat_kaplan_meier's framing so the survival family shares one
     ground truth): O/E/V accumulated over the distinct-duration risk
-    sets, z = (O−E)/√V.
+    sets, z = (O−E)/√V. Durations are exact integer floor division of
+    the µs span (unix_micros / epoch_us twins, ADVICE r5 — second
+    truncation per timestamp could bucket near-hour-multiple
+    lifetimes differently per engine).
 
     Scale shape: one groupBy(user) for lifetimes, one groupBy(dur) to
     the calendar-bounded duration table; risk sets are reverse
@@ -106,12 +109,10 @@ def stat_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mx))
         .select(
             (F.col("user_id") % 2).alias("grp"),
-            F.floor(
-                (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts"))
-                / 3600.0
-            )
-            .cast("bigint")
-            .alias("dur"),
+            F.expr(
+                "(unix_micros(last_ts) - unix_micros(first_ts))"
+                " div 3600000000"
+            ).alias("dur"),
             F.when(
                 F.col("last_ts") > F.col("mx") - F.expr("INTERVAL 6 HOUR"), 0
             )
