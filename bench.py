@@ -224,18 +224,37 @@ def main() -> int:
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_runs": n_runs,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_runs": n_runs,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json preserves only a 2000-char tail of
+    # stdout — not enough for the full per-query map, so round-over-
+    # round regression diffs were partial (VERDICT r5 item 6). Persist
+    # the COMPLETE timing map (plus raw per-run samples) to a
+    # committed, diff-able artifact keyed by the upcoming round number.
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        n_round = (max(rounds) + 1) if rounds else 0
+        local = dict(payload)
+        local["samples"] = {k: [round(x, 3) for x in v] for k, v in samples.items()}
+        with open(os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json"), "w") as f:
+            json.dump(local, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout still gets the stdout contract
     return 0
 
 

@@ -440,6 +440,29 @@ def run_foreach_batch_max_upsert(
         )
 
 
+def _ephemeral_checkpoint_dir(spark: SparkSession, sink: str) -> str | None:
+    """Per-query checkpoint dir on the RAM disk, if one exists.
+
+    An availableNow verification run writes hundreds of tiny offset/
+    commit/state files and then throws the checkpoint away — on this
+    box /tmp is ext4 and that file churn IS the streaming floor
+    (measured at sf0.1/local[32]: the 8 hottest stream queries drop
+    30.4 s -> 22.0 s, pyds_stream_range alone 5.7 -> 2.1 s, when the
+    checkpoint moves to tmpfs). A real deployment points its RESUMABLE
+    queries at durable storage — this path is only for run-to-
+    completion-and-discard execution, which is why queries that prove
+    resume semantics (stream_checkpoint_resume, foreachBatch upsert)
+    pass their own explicit durable location and never come through
+    here."""
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_CHK_BASE", "/dev/shm")
+    if not os.path.isdir(base) or not os.access(base, os.W_OK):
+        return None
+    app = spark.sparkContext.applicationId
+    return os.path.join(base, f"sg_chk_{app}", sink)
+
+
 def run_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -465,17 +488,24 @@ def run_to_memory(
     state_parts = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     if int(prev_shuffle) > state_parts:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    chk = _ephemeral_checkpoint_dir(spark, sink)
     try:
-        q = (
+        writer = (
             stream_df.writeStream.format("memory")
             .queryName(sink)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if chk is not None:
+            writer = writer.option("checkpointLocation", chk)
+        q = writer.start()
         q.awaitTermination()
         q.stop()
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if chk is not None:
+            import shutil
+
+            shutil.rmtree(chk, ignore_errors=True)
     return spark.table(sink)
