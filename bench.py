@@ -164,6 +164,15 @@ HEADLINE = [
     "ml_pr_curve_ap",                 # PR curve on the 11-row score histogram
     "alloc_knapsack_greedy",          # budgeted greedy via 2-pass running total
     "sim_dbscan_embedding",           # grid DBSCAN + star-CC (~5.6 s: iterative band)
+    # round-6 addition (same pre-flight: sf0.1 oracle-green + timed).
+    # This restores a Jaccard-family entry to the headline (VERDICT r5
+    # item 5): the brand restriction bounds the pair join at ~5.6e5
+    # rows at sf0.1 (~2.8 s warm — the basket+join floor its graph
+    # siblings also pay). The full-graph twins stay benched out as
+    # priced (Σdeg² on a uniform graph); the cap lever is demonstrated
+    # where it bites on the hub-injected graph by
+    # graph_jaccard_skew_capped + tests/test_jaccard_skew_cap.py.
+    "graph_jaccard_brand",            # within-brand top-3 jaccard pairs
 ]
 
 
