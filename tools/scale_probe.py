@@ -1,0 +1,145 @@
+"""Scale-linearity probe: time representative operators at 1x vs Kx.
+
+Round 5's 10x probe was an ad-hoc session measurement (SURVEY §14);
+this makes it a committed, rerunnable tool. It materializes a Kx
+blow-up of the fact-side tables as K DISJOINT key-shifted copies —
+orders, parts and docs from copy i get keys offset by i*max_key — so
+graph node/edge counts, dedup candidate sets and per-key groups all
+grow ~Kx (a plain row-duplication blowup would leave DISTINCT edge
+sets and dedup candidates unchanged and flatter every curve). The
+dimension tables are symlinked unscaled, so any registered query runs
+against the probe dir unmodified.
+
+For each probed query it reports t_Kx / t_1x (median of R warm runs).
+An operator whose plan is scale-honest lands well under K (partial
+aggregation, bounded state, broadcast dims); a super-K ratio is a
+cliff worth a VERDICT line.
+
+Usage: python tools/scale_probe.py [sf_dir] [K]
+Writes tools/logs/scale_probe_<sf>_x<K>.log via tee by the caller.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from whisky_wine_etl_spark import plans  # noqa: E402
+from whisky_wine_etl_spark.session import get_spark  # noqa: E402
+
+# (query, why this one) — one per major cost shape
+PROBES = [
+    ("q1_pricing_summary", "wide scan + groupBy agg (map-side combine)"),
+    ("topk_per_group", "keyed window top-k"),
+    ("dedup_exact", "hash-groupBy dedup over documents"),
+    ("text_cdc_chunks", "Arrow mapInPandas chunker"),
+    ("join_inner_equi", "fact-fact shuffle join"),
+    ("graph_jaccard_brand", "brand-bounded pair join (round 6)"),
+    ("graph_jaccard_skew_capped", "capped hub-graph pair join (round 6)"),
+    ("agg_weighted_median_2pass", "distributed selection"),
+]
+
+SCALED = {"lineitem", "orders", "part", "documents", "events"}
+
+
+def build_scaled_dir(spark, sf_dir: str, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    from whisky_wine_etl_spark.catalog import TABLES, load_table
+
+    dest = os.path.join(
+        tempfile.gettempdir(), f"sg_scaleprobe_{os.path.basename(sf_dir)}_x{k}"
+    )
+    if os.path.isdir(dest) and os.path.exists(os.path.join(dest, "_PROBE_READY")):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    # Key-domain shifts are computed ONCE from the domain-owning table
+    # so fact-fact joins keep their selectivity: copy i of lineitem
+    # references copy i of orders and copy i of part.
+    ord_shift = (
+        load_table(spark, sf_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+        + 1
+    )
+    part_shift = (
+        load_table(spark, sf_dir, "part").agg(F.max("p_partkey")).collect()[0][0] + 1
+    )
+    keys = {
+        "lineitem": [("l_orderkey", ord_shift), ("l_partkey", part_shift)],
+        "orders": [("o_orderkey", ord_shift)],
+        "part": [("p_partkey", part_shift)],
+        "documents": [("doc_id", None)],
+        "events": [("event_id", None), ("user_id", None)],
+    }
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if t not in SCALED:
+            os.symlink(src, os.path.join(dest, f"{t}.parquet"))
+            continue
+        df = load_table(spark, sf_dir, t)
+        shifts = []
+        for col, s in keys[t]:
+            if s is None:
+                s = df.agg(F.max(col)).collect()[0][0] + 1
+            shifts.append((col, s))
+        parts = []
+        for i in range(k):
+            c = df
+            for col, s in shifts:
+                c = c.withColumn(col, F.col(col) + F.lit(i * s))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(dest, f"{t}.parquet"))
+    with open(os.path.join(dest, "_PROBE_READY"), "w") as f:
+        f.write("ok")
+    return dest
+
+
+def _median_time(spark, name: str, d: str, runs: int) -> float:
+    xs = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        plans.QUERIES[name](spark, d).collect()
+        xs.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+    xs.sort()
+    return xs[len(xs) // 2]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+    plans.load_all()
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    scaled = build_scaled_dir(spark, sf_dir, k)
+    print(f"scaled dir: {scaled} (K={k})", flush=True)
+    plans.QUERIES[PROBES[0][0]](spark, sf_dir).collect()  # warm session
+    worst = 0.0
+    for name, why in PROBES:
+        t1 = _median_time(spark, name, sf_dir, runs)
+        tk = _median_time(spark, name, scaled, runs)
+        ratio = tk / t1
+        worst = max(worst, ratio)
+        print(
+            f"{name:<28} {t1:6.2f}s -> {tk:6.2f}s  x{ratio:4.1f}"
+            f"  (K={k}) — {why}",
+            flush=True,
+        )
+    print(f"worst ratio x{worst:.1f} vs K={k}: "
+          + ("SUB-LINEAR everywhere" if worst < k else "CHECK super-linear entries"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -505,7 +505,11 @@ def run_to_memory(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         if chk is not None:
+            import contextlib
+            import os
             import shutil
 
             shutil.rmtree(chk, ignore_errors=True)
+            with contextlib.suppress(OSError):  # non-empty: other query live
+                os.rmdir(os.path.dirname(chk))
     return spark.table(sink)
