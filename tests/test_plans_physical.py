@@ -1497,12 +1497,16 @@ def test_silhouette_centroid_join_broadcasts(spark):
 
 
 def test_ewma_time_decay_two_shuffles_of_partials(spark):
-    """ts_ewma_time_decay: exactly the groupBy-(user,day) exchange and
-    the window-(user) exchange — both carry DAILY-GRAIN partials, never
+    """ts_ewma_time_decay: the groupBy-(user,day) exchange and the
+    window-(user) exchange — both carry DAILY-GRAIN partials, never
     raw events (map-side partial agg first; collapsing to one shuffle
-    would require shuffling raw rows by user, strictly worse at scale)."""
+    would require shuffling raw rows by user, strictly worse at
+    scale). The round-6 horizon guard adds a 1-ROW global max(day)
+    aggregate + its broadcast back into the plan (ADVICE r5 fail-loud
+    bound): two more Exchange nodes whose traffic is one row."""
     df = plans.QUERIES["ts_ewma_time_decay"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 3
+    assert plan.count("Exchange") <= 6
+    assert "BroadcastExchange" in plan  # the 1-row guard, not a reshuffle
     assert "partial_sum" in plan or "HashAggregate" in plan
     assert "BatchEvalPython" not in plan

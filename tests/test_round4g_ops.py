@@ -63,7 +63,8 @@ def test_cusum_uniform_rate_never_flags(spark, monkeypatch):
     monkeypatch.setattr(r4g, "load_table", lambda spark, sf, name: ev)
     out = plans.QUERIES["ts_cusum_rate_drift"](spark, SF).collect()
     assert len(out) == 24
-    assert all(r.cusum_dev == 0.0 and not r.drift_flag for r in out)
+    # round-6 all-integer shape: exact BIGINT numerator, no division
+    assert all(r.cusum_num == 0 and not r.drift_flag for r in out)
 
 
 def test_cusum_burst_flags_and_recovers(spark, monkeypatch):
@@ -81,9 +82,12 @@ def test_cusum_burst_flags_and_recovers(spark, monkeypatch):
     ]
     ev = spark.createDataFrame(rows)
     monkeypatch.setattr(r4g, "load_table", lambda spark, sf, name: ev)
-    out = sorted(plans.QUERIES["ts_cusum_rate_drift"](spark, SF).collect(), key=lambda r: r.hour)
+    out = sorted(
+        plans.QUERIES["ts_cusum_rate_drift"](spark, SF).collect(),
+        key=lambda r: r.hour_us,
+    )
     assert out[0].drift_flag  # burst hour way above uniform expectation
-    assert out[-1].cusum_dev == 0.0 and not out[-1].drift_flag
+    assert out[-1].cusum_num == 0 and not out[-1].drift_flag
 
 
 def test_decay_score_closed_form(spark, monkeypatch):
