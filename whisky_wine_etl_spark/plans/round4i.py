@@ -121,21 +121,26 @@ def stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     left join, which is the oracle. State is bounded by
     watermark + horizon on both sides exactly as in the inner form.
 
-    Cost pricing (VERDICT r4 item 6): wall time is micro-batch
-    MACHINERY, not plan cost — 4 micro-batches × per-batch state-store
-    commit/instantiation, paid once more by the sentinel flush batch
-    that the outer join's correctness requires (unmatched rows may
-    only emit once the watermark proves no match can arrive). Measured
-    at sf0.1/local[32]: ~4 s warm, ~12-19 s on a cold first pass (JVM
-    + landing-dir build); dropping to 2 real batches changes nothing
-    (same 4 s warm), confirming the floor is per-query streaming setup,
-    not batch count. The inherent part is the sentinel batch itself —
+    Cost pricing (VERDICT r4 item 6, re-measured r6): wall time is
+    micro-batch MACHINERY, not plan cost. Per-batch progress metrics
+    at sf0.1/local[32] show a ~0.8-1.2 s floor per micro-batch
+    (addBatch + summed state-store commits across 8 partitions × 4
+    join stores — even a 0-row finalize batch costs 0.75 s), so the
+    batch COUNT is the lever: the outer join's semantics need real
+    data in SOME batch strictly BEFORE the sentinel batch (unmatched
+    rows may only emit once the watermark proves no match can
+    arrive), not one-batch-per-file, so all 3 real files load in ONE
+    trigger and the sentinel forms the second (cross-batch
+    watermark-carry at one-file-per-trigger is what the dedicated
+    stream_*_multibatch matrix covers). Measured: 5 batches ~5.5-6 s
+    → 3 batches ~3.5 s warm; result rows identical (oracle
+    hash-verified). The inherent part is the sentinel batch itself —
     without it the stream result would silently withhold the newest
-    unmatched signups and stop equaling the batch oracle."""
+    unmatched signups and stop equaling the batch left join."""
     from whisky_wine_etl_spark.streaming import pipelines as sp
 
     landing = sp.multibatch_landing_with_sentinel(spark, sf_dir, n_files=3)
-    stream = sp.file_events_stream(spark, landing, max_files_per_trigger=1)
+    stream = sp.file_events_stream(spark, landing, max_files_per_trigger=3)
     out = sp.stream_stream_left_outer(stream)
     res = sp.run_to_memory(spark, out, "append")
     return res.filter(F.col("user_id") >= 0)
