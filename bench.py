@@ -173,6 +173,7 @@ HEADLINE = [
     # where it bites on the hub-injected graph by
     # graph_jaccard_skew_capped + tests/test_jaccard_skew_cap.py.
     "graph_jaccard_brand",            # within-brand top-3 jaccard pairs
+    "corpus_duplicate_spans",         # ExactSubstr spans (Lee et al. 2022)
 ]
 
 

@@ -164,3 +164,33 @@ def test_brand_jaccard_within_brand_only(spark):
         assert 0 < r["common_cnt"] <= r["union_cnt"]
         per_brand[r["brand"]] = per_brand.get(r["brand"], 0) + 1
     assert per_brand and max(per_brand.values()) <= 3
+
+
+def test_duplicate_spans_planted_substring(spark, monkeypatch):
+    """ExactSubstr spans: two documents sharing one planted 10-token
+    run (and nothing else ≥ k=8 tokens long) must each report exactly
+    one span covering exactly that run — boundaries inclusive, merged
+    across the 3 overlapping k=8 shingles; a third unrelated doc
+    reports nothing."""
+    import whisky_wine_etl_spark.plans.round6a as r6a
+
+    shared = " ".join(f"dup{i}" for i in range(10))  # 10 planted tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta epsilon"),
+            (2, "zeta " + shared + " eta theta iota kappa"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(r6a, "load_table", lambda spark, sf, name: docs)
+    rows = sorted(
+        plans.QUERIES["corpus_duplicate_spans"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    d1, d2 = rows
+    # doc 1: shared run occupies tokens 3..12; doc 2: tokens 2..11
+    assert (d1["span_start"], d1["span_end"], d1["span_tokens"]) == (3, 12, 10)
+    assert (d2["span_start"], d2["span_end"], d2["span_tokens"]) == (2, 11, 10)
+    assert d1["n_dup_shingles"] == d2["n_dup_shingles"] == 3  # 10-8+1

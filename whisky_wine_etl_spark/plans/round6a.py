@@ -26,11 +26,15 @@ probability 0.07^r, so r=1 floods 20M+ candidates and r=2 recalls
   sub-second, scale-linear in |E|, and a query users actually run
   ("which of OUR products sell together").
 
-Registered LAST (driver's unverified-first ordering keeps the r5
-backlog in the front verification slots); both all-integer outputs
-per the round-6 hash discipline (ratios stay internal to the ORDER
-BY, where one IEEE division of exact ints is bit-identical on both
-engines).
+Plus ``corpus_duplicate_spans`` (registered later the same round):
+exact cross-document duplicate-substring spans at k-token granularity
+— the Lee et al. 2022 ExactSubstr dedup level the family lacked (see
+its docstring for the shingle-index + gaps-and-islands plan).
+
+All registered LAST (driver's unverified-first ordering keeps the r5
+backlog in the front verification slots); all-integer outputs per the
+round-6 hash discipline (ratios stay internal to the ORDER BY, where
+one IEEE division of exact ints is bit-identical on both engines).
 """
 
 from __future__ import annotations
@@ -292,4 +296,137 @@ def graph_jaccard_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("common_cnt"),
             F.col("uni").alias("union_cnt"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-SPAN detection (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", §4 ExactSubstr): find
+# the maximal token spans that occur in MORE THAN ONE document. The
+# repo's dedup family already handles doc-level (hash/MinHash/SimHash),
+# line-level (C4) and chunk-level (CDC) duplication; this is the
+# remaining granularity — cross-document repeated SUBSTRINGS inside
+# otherwise-unique documents, the form Lee et al. showed matters most
+# for LLM training. The suffix-array of the paper is a single-machine
+# construct; the Spark-first equivalent is the k-token shingle
+# inverted index this engine already uses for n-gram dedup, followed
+# by a per-document gaps-and-islands merge of duplicated positions
+# into maximal spans.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # span granularity: duplicated runs of >= 8 tokens
+_SPAN_DF_CAP = 256  # boilerplate guard: shingles in > CAP docs are dropped
+
+
+@query(
+    "corpus_duplicate_spans",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  WHERE len(string_split(text, ' ')) >= {_SPAN_K}
+),
+sh AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(ts[u.i:u.i+{_SPAN_K - 1}], ' ') AS shingle
+  FROM tok, LATERAL unnest(range(1, len(ts)-{_SPAN_K - 2})) AS u(i)
+),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_DF_CAP}
+),
+p AS (
+  SELECT s.doc_id, s.pos,
+         MAX(s.pos + {_SPAN_K - 1}) OVER (PARTITION BY s.doc_id ORDER BY s.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM sh s JOIN dup USING (shingle)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_SPAN_K} - MIN(pos) AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+FROM isl GROUP BY doc_id, island
+""",
+)
+def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans (ExactSubstr dedup
+    at k=8 granularity): every position whose 8-token shingle also
+    occurs in another document, merged per document into maximal
+    [span_start, span_end] token ranges (1-based, inclusive).
+
+    Spark-first plan in three scale-honest stages: (1) shingle
+    emission is one whole-stage-codegen pass (split + sequence +
+    slice + posexplode — no UDF, no self-join; positions-per-doc is
+    length-bounded); (2) the duplicated-shingle set comes from ONE
+    map-side-combinable groupBy with the same df-cap lever as the
+    n-gram dedup family ({_SPAN_DF_CAP}: a shingle in more documents
+    than that is boilerplate whose postings join would be the classic
+    Zipf hot key — the cap literal is mirrored in the oracle, so
+    semantics stay exact); (3) span merging is the gaps-and-islands
+    pattern under DOC-KEYED windows (running max of span end, island
+    counter) — never a global window, partition-parallel by document
+    at any corpus size. Outputs are ALL-INTEGER (round-6 hash
+    discipline). Token positions use 1-based inclusive indexing
+    identical in Spark's slice() and DuckDB's list slicing; docs
+    shorter than k are filtered on BOTH engines before shingling
+    (Spark's sequence() would generate a DESCENDING range for them).
+    Reference granularity trail: doc-level = dedup_exact/minhash,
+    line-level = corpus_line_dedup, chunk-level = text_cdc_chunks;
+    this adds the substring level of Lee et al. 2022."""
+    k = _SPAN_K
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    ).filter(F.size("ts") >= k)
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ts)-{k - 1}),"
+                f" i -> concat_ws(' ', slice(ts, i, {k})))"
+            )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _SPAN_DF_CAP))
+        .select("shingle")
+    )
+    # duplicated-shingle set is dup-volume-sized (<< corpus) -> broadcast
+    p = sh.join(F.broadcast(dup), "shingle").select("doc_id", "pos")
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = W.partitionBy("doc_id").orderBy("pos")
+    isl = p.withColumn(
+        "prev_end", F.max(F.col("pos") + (k - 1)).over(w_prev)
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
+        (F.max("pos") + k - F.min("pos")).cast("bigint").alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_dup_shingles"),
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_dup_shingles",
     )
