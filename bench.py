@@ -253,12 +253,20 @@ def main() -> int:
         import re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-        ]
-        n_round = (max(rounds) + 1) if rounds else 0
+        # Round number: explicit SPARK_GRAFT_ROUND wins; the fallback
+        # inference (max CORRECTNESS round + 1) drifts by one when
+        # bench re-runs AFTER the round's CORRECTNESS artifact lands
+        # (ADVICE r6) — so set the env var when reproducing a round.
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round is not None:
+            n_round = int(env_round)
+        else:
+            rounds = [
+                int(m.group(1))
+                for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+                if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+            ]
+            n_round = (max(rounds) + 1) if rounds else 0
         local = dict(payload)
         local["samples"] = {k: [round(x, 3) for x in v] for k, v in samples.items()}
         with open(os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json"), "w") as f:

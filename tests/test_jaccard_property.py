@@ -109,7 +109,7 @@ def test_skew_remap_matches_python_formula(spark, rows):
         for r in skewed_copurchase_lineitem(df).collect()
     )
     want = sorted(
-        (o, (p // 10) % 20 if p % 10 == 0 else p)
+        (o, -1 - ((p // 10) % 20) if p % 10 == 0 else p)
         for o, p in (rows or [(4, 10)])
         if o % 4 == 0
     )

@@ -130,6 +130,30 @@ def test_wine_roundtrip_live_postgres_lossless(spark, pg_conn, pg_scratch):
     assert t.exceptAll(back).count() == 0
 
 
+def test_embedded_newline_rowcount_and_roundtrip(spark, pg_conn, pg_scratch):
+    """The ADVICE-r6 case the wine fixture never exercised: quoted
+    fields containing embedded newlines (plus commas, doubled quotes,
+    and NULL vs empty string). copy_write's returned row count must be
+    the SERVER's row count (a newline-bearing field is one row but two
+    '\\n's in the CSV payload), and the COPY round-trip must be
+    lossless on exactly these values."""
+    from whisky_wine_etl_spark.sources.postgres import copy_read, copy_write
+
+    rows = [
+        (1, "plain"),
+        (2, "line one\nline two"),
+        (3, 'quote " comma , and\nnewline'),
+        (4, None),
+        (5, ""),
+        (6, "trailing newline\n"),
+    ]
+    df = spark.createDataFrame(rows, "id int, body string")
+    n = copy_write(df, "nl_rt", pg_conn, pg_scratch)
+    assert n == len(rows)  # newline-count would report 8
+    back = copy_read(spark, "nl_rt", "id int, body string", pg_conn, pg_scratch)
+    assert sorted((r.id, r.body) for r in back.collect()) == sorted(rows)
+
+
 def test_events_aggregate_pushback_live_postgres(spark, pg_conn, pg_scratch):
     """Timestamps + doubles through the bridge: per-type event counts
     and value sums computed in Spark BEFORE the trip equal the same
@@ -142,23 +166,29 @@ def test_events_aggregate_pushback_live_postgres(spark, pg_conn, pg_scratch):
         "event_id", "ts", "user_id", "event_type", "value"
     )
     copy_write(ev, "events_live", pg_conn, pg_scratch)
+    # Sum integer CENTS on both sides (ADVICE r6): summing rounded
+    # doubles in Spark vs exact NUMERIC in Postgres can land on
+    # opposite sides of a .005 boundary; exact bigint accumulation
+    # cannot. Both engines round the SAME IEEE double value*100 with
+    # HALF_UP on its shortest decimal repr, so the per-row cents
+    # agree bit-exactly.
     spark_side = {
-        (r["event_type"], r["n"], r["s"])
+        (r["event_type"], r["n"], r["cents"])
         for r in ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.round("value", 2)), 2).alias("s"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
         )
         .collect()
     }
     out = run_psql(
         pg_conn,
         "SELECT event_type, COUNT(*),"
-        " ROUND(SUM(ROUND(value::numeric, 2)), 2)"
+        " SUM(CAST(ROUND((value * 100)::numeric) AS BIGINT))"
         ' FROM "events_live" GROUP BY event_type',
     )
     pg_side = set()
     for line in out.strip().splitlines():
         etype, n, s = line.split("|")
-        pg_side.add((etype, int(n), float(s)))
+        pg_side.add((etype, int(n), int(s)))
     assert pg_side == spark_side

@@ -42,6 +42,7 @@ PROBES = [
     ("graph_jaccard_brand", "brand-bounded pair join (round 6)"),
     ("graph_jaccard_skew_capped", "capped hub-graph pair join (round 6)"),
     ("agg_weighted_median_2pass", "distributed selection"),
+    ("corpus_duplicate_spans", "shingle index + semi-join spans (round 7: unhinted)"),
 ]
 
 SCALED = {"lineitem", "orders", "part", "documents", "events"}

@@ -388,9 +388,12 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # RFM segmentation — the classic customer-scoring rollup (recency /
-# frequency / monetary quartiles). Quartile assignment is ntile(4)
-# with a FULLY deterministic sort (metric, then custkey) so both
-# engines place ties identically.
+# frequency / monetary quartiles). Quartile assignment is threshold
+# scoring against the three exact percentile_disc boundaries (25/50/
+# 75), broadcast as one row — NO global window anywhere in the plan
+# (VERDICT r6 item 2 closed the former ntile version's single-task
+# global sort). Ties on a metric now share a score, which is the
+# better RFM semantic anyway.
 # ---------------------------------------------------------------------------
 
 
@@ -405,29 +408,52 @@ rfm AS (
          COUNT(*) AS frequency,
          ROUND(SUM(o_totalprice), 2) AS monetary
   FROM orders GROUP BY o_custkey
+),
+thr AS (
+  SELECT
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
+    percentile_disc(0.5)  WITHIN GROUP (ORDER BY recency_days) AS r50,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f25,
+    percentile_disc(0.5)  WITHIN GROUP (ORDER BY frequency) AS f50,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f75,
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary) AS m25,
+    percentile_disc(0.5)  WITHIN GROUP (ORDER BY monetary) AS m50,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary) AS m75
+  FROM rfm
 )
 SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
        CAST(frequency AS BIGINT) AS frequency, monetary,
-       CAST(NTILE(4) OVER (ORDER BY recency_days DESC, o_custkey) AS INT) AS r_score,
-       CAST(NTILE(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
-       CAST(NTILE(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
-FROM rfm
+       CAST(4 - ((recency_days > r25)::INT + (recency_days > r50)::INT
+                 + (recency_days > r75)::INT) AS INT) AS r_score,
+       CAST(1 + (frequency > f25)::INT + (frequency > f50)::INT
+              + (frequency > f75)::INT AS INT) AS f_score,
+       CAST(1 + (monetary > m25)::INT + (monetary > m50)::INT
+              + (monetary > m75)::INT AS INT) AS m_score
+FROM rfm CROSS JOIN thr
 """,
 )
 def stat_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer recency (days since last order, vs the corpus max
-    date), frequency, monetary; each scored 1-4 by ntile quartile
-    where 4 = best (most recent / most frequent / highest spend).
+    date), frequency, monetary; each scored 1-4 by exact quartile
+    THRESHOLDS where 4 = best (most recent / most frequent / highest
+    spend): score = 1 + number of quartile boundaries the metric
+    exceeds (mirrored for recency, where smaller is better).
 
-    Scale notes: the per-customer rollup partial-aggregates map-side;
-    the corpus max date is a 1-row broadcast. The three ntile windows
-    are global-sort single-task over the CUSTOMER aggregate (one row
-    per customer, not per order) — the standard caveat applies and is
-    acceptable for a scoring table; an approx-quantile bucketing
-    (percentile thresholds broadcast, then a map-only CASE) is the
-    drop-in at 1e9 customers. Ties are pinned by (metric, custkey) so
-    ntile is engine-deterministic. Monetary is rounded to cents
-    BEFORE scoring so the sort key itself is fp-stable."""
+    Scale notes (the VERDICT-r6 rewrite off global ntile windows):
+    the per-customer rollup partial-aggregates map-side; the corpus
+    max date is a 1-row broadcast. The three quartile boundaries per
+    metric come from ONE exact percentile_disc aggregate (both
+    engines pin the same rank-ceil(p*n) element, verified; Spark's
+    exact-percentile aggregate is mergeable, memory O(distinct
+    metric values) — bounded for integer recency/frequency, cents-
+    grained monetary; pre-coarsening is the lever if ever needed),
+    broadcast as ONE row, and scoring is a map-only CASE — zero
+    Window nodes in the plan (tests/test_round4c_ops.py pins this).
+    Ties on a metric share a score (threshold semantics), which both
+    engines decide identically on exact ints / cents-rounded values;
+    monetary is rounded BEFORE scoring so the compared key itself is
+    fp-stable."""
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
     rfm = (
@@ -445,20 +471,35 @@ def stat_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return rfm.select(
+    thr = rfm.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})"
+            ).alias(f"{m[0]}{int(p * 100)}")
+            for m in ("recency_days", "frequency", "monetary")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    gt = lambda m, t: (F.col(m) > F.col(t)).cast("int")  # noqa: E731
+    return rfm.crossJoin(F.broadcast(thr)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m_score"),
+        (
+            F.lit(4)
+            - gt("recency_days", "r25")
+            - gt("recency_days", "r50")
+            - gt("recency_days", "r75")
+        ).alias("r_score"),
+        (
+            F.lit(1) + gt("frequency", "f25") + gt("frequency", "f50")
+            + gt("frequency", "f75")
+        ).alias("f_score"),
+        (
+            F.lit(1) + gt("monetary", "m25") + gt("monetary", "m50")
+            + gt("monetary", "m75")
+        ).alias("m_score"),
     )
 
 

@@ -98,8 +98,17 @@ def read_csv(
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S-4: CSV sink with header (reference: to_csv(index=False))."""
-    df.write.mode(mode).option("header", "true").csv(path)
+    """S-4: CSV sink with header (reference: to_csv(index=False)).
+    Whitespace trimming is disabled to match pandas to_csv exactly:
+    Spark's writer otherwise strips leading/trailing whitespace —
+    including newlines INSIDE quoted values — that to_csv preserves."""
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -108,29 +108,43 @@ def copy_write(
         .option("escape", '"')
         .option("emptyValue", '""')
         .option("nullValue", "")
+        # Spark's CSV writer TRIMS leading/trailing whitespace by
+        # default — including a trailing "\n" INSIDE a quoted value —
+        # which silently corrupts newline-bearing fields (ADVICE r6
+        # fixture gap found exactly this). Lossless bridge => off.
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(out)
     )
-    n = 0
     for part in sorted(glob.glob(os.path.join(out, "part-*.csv"))):
         with open(part, encoding="utf-8") as f:
             data = f.read()
         if not data:
             continue
-        res = run_psql(
+        run_psql(
             conn,
             f'\\copy "{table}" FROM STDIN WITH (FORMAT csv)',
             input_text=data,
         )
-        del res
-        n += data.count("\n")
-    return n
+    # Rows loaded = the server's own count, NOT a newline count of the
+    # CSV payload: a quoted field with an embedded newline is one ROW
+    # but two "\n"s, exactly the case this module's RFC-4180 contract
+    # supports (ADVICE r6). COUNT(*) is also what a JDBC writer's
+    # post-load verification would issue.
+    return int(run_psql(conn, f'SELECT COUNT(*) FROM "{table}"').strip())
 
 
 def copy_read(
     spark: SparkSession, table: str, schema: str, conn: dict, scratch_dir: str
 ) -> DataFrame:
     """COPY the table out as RFC CSV and read it back with an explicit
-    schema (multiLine on: COPY quotes embedded newlines)."""
+    schema (multiLine on: COPY quotes embedded newlines).
+
+    NULL vs empty string: COPY writes NULL as an UNQUOTED empty field
+    and '' as a QUOTED ``""``. Spark's reader folds both into
+    nullValue unless emptyValue redirects the quoted form, so quoted-
+    empty is routed through a one-byte NUL sentinel and mapped back to
+    '' — safe because Postgres text values can never contain \\x00."""
     out = os.path.join(scratch_dir, f"pgread_{table}.csv")
     cmd = [
         PSQL,
@@ -144,12 +158,24 @@ def copy_read(
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     if res.returncode != 0:
         raise RuntimeError(f"psql copy-out failed: {res.stderr.strip()[:500]}")
-    return (
+    sentinel = "\x00"
+    df = (
         spark.read.schema(schema)
         .option("quote", '"')
         .option("escape", '"')
         .option("multiLine", "true")
-        .option("emptyValue", '""')
+        .option("emptyValue", sentinel)
         .option("nullValue", "")
         .csv(out)
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    return df.select(
+        *[
+            F.when(F.col(f.name) == sentinel, F.lit("")).otherwise(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, StringType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
     )

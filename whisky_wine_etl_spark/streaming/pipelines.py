@@ -453,13 +453,41 @@ def _ephemeral_checkpoint_dir(spark: SparkSession, sink: str) -> str | None:
     completion-and-discard execution, which is why queries that prove
     resume semantics (stream_checkpoint_resume, foreachBatch upsert)
     pass their own explicit durable location and never come through
-    here."""
+    here.
+
+    Guards (ADVICE r6): tmpfs is typically capped at ~50% RAM, so fall
+    back to the default temp checkpoint when the RAM disk has < 256
+    MiB free rather than fail a larger-SF or concurrent run with
+    ENOSPC; and prune sg_chk_* dirs left by hard-killed runs (they
+    otherwise sit in RAM until reboot). Staleness is age-based (> 1 h
+    untouched), NOT ownership-based: a concurrent live session's dir
+    must survive, and an availableNow checkpoint that has gone an
+    hour without a write is certainly dead."""
     import os
+    import shutil
+    import time
 
     base = os.environ.get("SPARK_GRAFT_STREAM_CHK_BASE", "/dev/shm")
     if not os.path.isdir(base) or not os.access(base, os.W_OK):
         return None
     app = spark.sparkContext.applicationId
+    try:
+        cutoff = time.time() - 3600
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            if (
+                d.startswith("sg_chk_")
+                and d != f"sg_chk_{app}"
+                and os.path.getmtime(p) < cutoff
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    try:
+        if shutil.disk_usage(base).free < 256 * 1024 * 1024:
+            return None
+    except OSError:
+        return None
     return os.path.join(base, f"sg_chk_{app}", sink)
 
 
