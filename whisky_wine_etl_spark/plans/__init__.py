@@ -89,3 +89,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round5b  # noqa: F401
     from whisky_wine_etl_spark.plans import round5c  # noqa: F401
     from whisky_wine_etl_spark.plans import round6a  # noqa: F401
+    from whisky_wine_etl_spark.plans import round7a  # noqa: F401
