@@ -43,6 +43,7 @@ PROBES = [
     ("graph_jaccard_skew_capped", "capped hub-graph pair join (round 6)"),
     ("agg_weighted_median_2pass", "distributed selection"),
     ("corpus_duplicate_spans", "shingle index + semi-join spans (round 7: unhinted)"),
+    ("sample_stratified_quota", "two-phase stratified top-k under a global budget (round 7)"),
 ]
 
 SCALED = {"lineitem", "orders", "part", "documents", "events"}
