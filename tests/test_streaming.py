@@ -346,3 +346,29 @@ def test_latest_per_key_update_mode_across_batches(spark, tmp_path):
     )
     got = {(r.user_id, r.last_event_type, r.last_value) for r in compact.collect()}
     assert got == {(1, "view", 5.0), (2, "view", 2.0), (3, "click", 4.0)}
+
+
+def test_ephemeral_checkpoint_guards(spark, tmp_path, monkeypatch):
+    """ADVICE-r6 guards: stale sg_chk_* dirs (> 1 h untouched) are
+    pruned on entry, fresh dirs from concurrent live sessions are NOT,
+    and a missing base falls back to None (default temp checkpoint)."""
+    import os
+    import time as _time
+
+    base = tmp_path / "ramdisk"
+    base.mkdir()
+    stale = base / "sg_chk_dead_app"
+    stale.mkdir()
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = base / "sg_chk_other_live_app"
+    fresh.mkdir()
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CHK_BASE", str(base))
+    got = sp._ephemeral_checkpoint_dir(spark, "sink1")
+    assert got is not None and got.startswith(str(base))
+    assert not stale.exists()  # dead run's RAM reclaimed
+    assert fresh.exists()  # concurrent live session untouched
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CHK_BASE", str(tmp_path / "absent"))
+    assert sp._ephemeral_checkpoint_dir(spark, "sink1") is None
