@@ -174,6 +174,12 @@ HEADLINE = [
     # graph_jaccard_skew_capped + tests/test_jaccard_skew_cap.py.
     "graph_jaccard_brand",            # within-brand top-3 jaccard pairs
     "corpus_duplicate_spans",         # ExactSubstr spans (Lee et al. 2022)
+    # round-7 additions (same pre-flight: sf0.1 oracle-green + timed —
+    # 0.5 s and 2.0 s warm). graph_jaccard_skew_capped stays benched
+    # out as priced (its job is the cap demonstration on the
+    # hub-injected graph, ~4.8 s of deliberate Σdeg² stress).
+    "sample_stratified_quota",        # exact-budget stratified sample (2-phase top-k)
+    "stream_rocksdb_tumbling",        # RocksDB state-store determinism twin
 ]
 
 
