@@ -56,9 +56,10 @@ def test_skew_profile_uniform_keys_gini_zero(spark, monkeypatch):
     _patch(monkeypatch, {"orders": spark.createDataFrame(rows)})
     out = plans.QUERIES["diag_key_skew_profile"](spark, SF).collect()[0]
     assert out.n_keys == 10 and out.n_rows == 50
-    assert out.gini == pytest.approx(0.0, abs=1e-9)
+    gini = out.two_rank_sum / (out.n_keys * out.n_rows) - (out.n_keys + 1) / out.n_keys
+    assert gini == pytest.approx(0.0, abs=1e-9)
     assert out.p50 == out.max_rows == 5
-    assert out.top_key_share == pytest.approx(0.1)
+    assert out.max_rows / out.n_rows == pytest.approx(0.1)
 
 
 def test_skew_profile_hot_key(spark, monkeypatch):
@@ -69,8 +70,9 @@ def test_skew_profile_hot_key(spark, monkeypatch):
     _patch(monkeypatch, {"orders": spark.createDataFrame(rows)})
     out = plans.QUERIES["diag_key_skew_profile"](spark, SF).collect()[0]
     assert out.max_rows == 91
-    assert out.top_key_share == pytest.approx(0.91)
-    assert out.gini > 0.7
+    assert out.max_rows / out.n_rows == pytest.approx(0.91)
+    gini = out.two_rank_sum / (out.n_keys * out.n_rows) - (out.n_keys + 1) / out.n_keys
+    assert gini > 0.7
 
 
 def test_retention_decay_exact_halving(spark, monkeypatch):

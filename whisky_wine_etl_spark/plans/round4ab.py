@@ -96,31 +96,32 @@ g AS (
          SUM(f) OVER (ORDER BY c) - f AS below,
          SUM(f) OVER () AS n, SUM(c * f) OVER () AS tot
   FROM cc
-),
-gini AS (
-  -- 2*Σ rank_i*x_i with consecutive ranks for ties:
-  -- Σ f*c*(2*below + f + 1)
-  SELECT MIN(n) AS n, MIN(tot) AS tot,
-         SUM(f * c * (2 * below + f + 1)) AS two_rank_sum
-  FROM g
 )
-SELECT CAST(n AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS n_rows,
-       (SELECT quantile_disc(c, 0.5) FROM k) AS p50,
-       (SELECT quantile_disc(c, 0.99) FROM k) AS p99,
-       (SELECT MAX(c) FROM k) AS max_rows,
-       ROUND(CAST(two_rank_sum AS DOUBLE) / (n * tot) - (n + 1.0) / n, 6) AS gini,
-       ROUND((SELECT MAX(c) FROM k) * 1.0 / tot, 6) AS top_key_share
-FROM gini
+SELECT CAST(MIN(n) AS BIGINT) AS n_keys,
+       CAST(MIN(tot) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN 2 * (below + f) >= n THEN c END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN 100 * (below + f) >= 99 * n THEN c END) AS BIGINT) AS p99,
+       CAST(MAX(c) AS BIGINT) AS max_rows,
+       CAST(SUM(f * c * (2 * below + f + 1)) AS BIGINT) AS two_rank_sum
+FROM g
 """,
 )
 def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew report for orders-per-customer: count percentiles, exact
-    Gini, hottest-key share. The Gini runs on the count-of-counts
-    frame (distinct count values — tiny however large the table)
-    using the consecutive-rank identity 2Σrᵢxᵢ = Σ f·c·(2·below+f+1),
-    all int64 until the final division. This is the profile that
-    decides between a plain shuffle, salting, or AQE skew handling
-    BEFORE running the real job."""
+    """Skew report for orders-per-customer: count percentiles, the exact
+    Gini numerator, hottest-key count. ALL-INTEGER OUTPUT by design
+    (r8 fix for the r7 driver red): no division, no ROUND, no decimal
+    literal, no version-dependent quantile builtin on either engine.
+    gini = two_rank_sum/(n_keys*n_rows) - (n_keys+1)/n_keys and
+    top_key_share = max_rows/n_rows are one consumer-side division away.
+
+    Everything runs on the count-of-counts frame (distinct count
+    values — tiny however large the table): the Gini numerator via the
+    consecutive-rank identity 2Σrᵢxᵢ = Σ f·c·(2·below+f+1), and the
+    discrete percentiles via pure-integer rank comparisons
+    (cum ≥ ceil(p·n) ⇔ q·cum ≥ p_num·n), which equal
+    percentile_disc(p) by definition. This is the profile that decides
+    between a plain shuffle, salting, or AQE skew handling BEFORE
+    running the real job."""
     o = _t(spark, sf_dir, "orders")
     k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     cc = k.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
@@ -135,30 +136,20 @@ def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f").over(wall).alias("n"),
         F.sum(F.col("c") * F.col("f")).over(wall).alias("tot"),
     )
-    gini = g.agg(
-        F.min("n").alias("n"),
-        F.min("tot").alias("tot"),
-        F.sum(F.col("f") * F.col("c") * (2 * F.col("below") + F.col("f") + 1)).alias(
-            "two_rank_sum"
-        ),
-    )
-    pcts = k.agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").alias("p50"),
-        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)").alias("p99"),
-        F.max("c").alias("max_rows"),
-    )
-    return gini.crossJoin(F.broadcast(pcts)).select(
-        F.col("n").cast("bigint").alias("n_keys"),
-        F.col("tot").cast("bigint").alias("n_rows"),
-        "p50",
-        "p99",
-        "max_rows",
-        F.round(
-            F.col("two_rank_sum").cast("double") / (F.col("n") * F.col("tot"))
-            - (F.col("n") + 1.0) / F.col("n"),
-            6,
-        ).alias("gini"),
-        F.round(F.col("max_rows") / F.col("tot"), 6).alias("top_key_share"),
+    cum = F.col("below") + F.col("f")
+    return g.agg(
+        F.min("n").cast("bigint").alias("n_keys"),
+        F.min("tot").cast("bigint").alias("n_rows"),
+        F.min(F.when(2 * cum >= F.col("n"), F.col("c")))
+        .cast("bigint")
+        .alias("p50"),
+        F.min(F.when(100 * cum >= 99 * F.col("n"), F.col("c")))
+        .cast("bigint")
+        .alias("p99"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.sum(F.col("f") * F.col("c") * (2 * F.col("below") + F.col("f") + 1))
+        .cast("bigint")
+        .alias("two_rank_sum"),
     )
 
 

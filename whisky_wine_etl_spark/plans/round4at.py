@@ -41,11 +41,11 @@ seq AS (
 tot AS (SELECT MAX(i) AS n, MAX(s) AS grand FROM seq),
 scored AS (
   SELECT seq.d, seq.i,
-         (seq.i * (tot.n - seq.i) * 1.0 / tot.n)
-           * POWER(seq.s * 1.0 / seq.i
-                   - (tot.grand - seq.s) * 1.0 / (tot.n - seq.i), 2) AS score,
-         seq.s * 1.0 / seq.i AS mean_left,
-         (tot.grand - seq.s) * 1.0 / (tot.n - seq.i) AS mean_right
+         (CAST(seq.i * (tot.n - seq.i) AS DOUBLE) / tot.n)
+           * POWER(CAST(seq.s AS DOUBLE) / seq.i
+                   - CAST(tot.grand - seq.s AS DOUBLE) / (tot.n - seq.i), 2) AS score,
+         CAST(seq.s AS DOUBLE) / seq.i AS mean_left,
+         CAST(tot.grand - seq.s AS DOUBLE) / (tot.n - seq.i) AS mean_right
   FROM seq CROSS JOIN tot
   WHERE seq.i < tot.n
 )
@@ -82,10 +82,13 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = seq.agg(F.max("i").alias("n"), F.max("s").alias("grand"))
     j = seq.crossJoin(F.broadcast(tot)).filter(F.col("i") < F.col("n"))
-    mean_l = F.col("s") * 1.0 / F.col("i")
-    mean_r = (F.col("grand") - F.col("s")) * 1.0 / (F.col("n") - F.col("i"))
+    # CAST AS DOUBLE (not "* 1.0") on BOTH engines: a bare decimal
+    # literal is DECIMAL in DuckDB and its promotion/division scale
+    # rules are version-dependent (r8 oracle-fragility audit).
+    mean_l = F.col("s").cast("double") / F.col("i")
+    mean_r = (F.col("grand") - F.col("s")).cast("double") / (F.col("n") - F.col("i"))
     score = (
-        F.col("i") * (F.col("n") - F.col("i")) * 1.0 / F.col("n")
+        (F.col("i") * (F.col("n") - F.col("i"))).cast("double") / F.col("n")
     ) * F.pow(mean_l - mean_r, 2)
     return (
         j.select(

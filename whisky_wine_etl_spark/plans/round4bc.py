@@ -32,8 +32,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # channel bit assignment, alphabetical: click=1, error=2, signup=4, view=8
 _CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
-# Shapley weight by |S| for n=4: |S|!·(n−1−|S|)!/n!
-_W = {0: "6.0/24.0", 1: "2.0/24.0", 2: "2.0/24.0", 3: "6.0/24.0"}
+# Shapley weight by |S| for n=4: |S|!·(n−1−|S|)!/n!  — CAST AS DOUBLE
+# so DuckDB does double (not version-scaled DECIMAL) division, matching
+# Spark's lit-double weights bit-exactly (r8 oracle-fragility audit).
+_W = {
+    0: "CAST(6.0 AS DOUBLE)/24.0",
+    1: "CAST(2.0 AS DOUBLE)/24.0",
+    2: "CAST(2.0 AS DOUBLE)/24.0",
+    3: "CAST(6.0 AS DOUBLE)/24.0",
+}
 
 _POPCNT = ("((vs.s >> 0) & 1) + ((vs.s >> 1) & 1)"
            " + ((vs.s >> 2) & 1) + ((vs.s >> 3) & 1)")

@@ -194,8 +194,8 @@ rep AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(AVG(CAST(truth AS DOUBLE)), 6) AS true_rate,
        ROUND(AVG(CAST(reported AS DOUBLE)), 6) AS reported_rate,
-       ROUND((AVG(CAST(reported AS DOUBLE)) - {_FLIP_PCT / 100.0})
-             / (1.0 - 2 * {_FLIP_PCT / 100.0}), 6) AS debiased_rate
+       ROUND((AVG(CAST(reported AS DOUBLE)) - CAST({_FLIP_PCT / 100.0} AS DOUBLE))
+             / CAST({1.0 - _FLIP_PCT / 50.0} AS DOUBLE), 6) AS debiased_rate
 FROM rep
 """,
 )

@@ -393,13 +393,15 @@ touch AS (
 ),
 credit AS (
   SELECT channel,
-         CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS w_first,
-         CASE WHEN pos = n_touch THEN 1.0 ELSE 0.0 END AS w_last,
-         1.0 / n_touch AS w_linear,
-         CASE WHEN n_touch = 1 THEN 1.0
-              WHEN n_touch = 2 THEN 0.5
-              WHEN pos = 1 OR pos = n_touch THEN 0.4
-              ELSE 0.2 / (n_touch - 2) END AS w_ushape
+         CASE WHEN pos = 1 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS w_first,
+         CASE WHEN pos = n_touch THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS w_last,
+         CAST(1.0 AS DOUBLE) / n_touch AS w_linear,
+         CASE WHEN n_touch = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n_touch = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN pos = 1 OR pos = n_touch THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / (n_touch - 2) END AS w_ushape
   FROM touch
 )
 SELECT channel,

@@ -173,7 +173,10 @@ _BT_VALID_TS = "2024-01-15 00:00:00"
     "join_bitemporal_asof",
     f"""
 WITH cap AS (
-  SELECT CAST(FLOOR(0.6 * MAX(event_id)) AS BIGINT) AS txn_cap FROM events
+  -- CAST(0.6 AS DOUBLE): Spark computes the cap in double; a bare 0.6
+  -- is DECIMAL in DuckDB with version-dependent promotion (r8 audit)
+  SELECT CAST(FLOOR(CAST(0.6 AS DOUBLE) * MAX(event_id)) AS BIGINT) AS txn_cap
+  FROM events
 ),
 known AS (
   SELECT e.user_id, e.event_id, e.ts, e.value

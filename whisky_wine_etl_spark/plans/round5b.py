@@ -316,11 +316,21 @@ WITH d AS (
 walsh AS (
   SELECT (a.rev + b.rev) / 2 AS w
   FROM d a JOIN d b ON a.day <= b.day
+),
+r AS (
+  -- explicit median selection (no quantile_cont: its index rule has
+  -- varied across DuckDB versions — r8 oracle-fragility audit). Same
+  -- two-middle-position rule as the Spark side: lo=(m+1)//2,
+  -- hi=(m+2)//2, equal when m odd; AVG interpolates the even case.
+  SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS pos,
+         COUNT(*) OVER () AS m
+  FROM walsh
 )
-SELECT ROUND(quantile_cont(w, 0.5), 6) AS hl_estimate,
+SELECT ROUND(AVG(w), 6) AS hl_estimate,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs
-FROM walsh
+       CAST(MIN(m) AS BIGINT) AS n_pairs
+FROM r
+WHERE pos = (m + 1) // 2 OR pos = (m + 2) // 2
 """,
 )
 def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:

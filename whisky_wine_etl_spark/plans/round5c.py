@@ -43,7 +43,8 @@ nb AS (
   SELECT a.pid AS pa, b.pid AS pb
   FROM p a, p b, nn
   WHERE a.pid <> b.pid
-    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_DBSCAN_C} / nn.n
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+        <= CAST({_DBSCAN_C} AS DOUBLE) / nn.n
 ),
 core AS (
   SELECT pa AS pid FROM nb GROUP BY pa HAVING COUNT(*) >= {_DBSCAN_MINPTS}
