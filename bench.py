@@ -264,9 +264,19 @@ def main() -> int:
         # bench re-runs AFTER the round's CORRECTNESS artifact lands
         # (ADVICE r6) — so set the env var when reproducing a round.
         env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        n_round = None
         if env_round is not None:
-            n_round = int(env_round)
-        else:
+            # Defensive parse (ADVICE r7): a malformed value must not
+            # crash artifact-writing AFTER the timed sweep completed.
+            try:
+                n_round = int(env_round.strip().lstrip("rR") or "")
+            except ValueError:
+                print(
+                    f"WARN: unparseable SPARK_GRAFT_ROUND={env_round!r}; "
+                    "falling back to inferred round",
+                    file=sys.stderr,
+                )
+        if n_round is None:
             rounds = [
                 int(m.group(1))
                 for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))

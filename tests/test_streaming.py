@@ -363,12 +363,21 @@ def test_ephemeral_checkpoint_guards(spark, tmp_path, monkeypatch):
     os.utime(stale, (old, old))
     fresh = base / "sg_chk_other_live_app"
     fresh.mkdir()
+    # ADVICE r7: a >1h-old TOP directory whose nested offsets/commits
+    # files are fresh is a LIVE long-running query — liveness judges
+    # the newest mtime anywhere in the subtree, not the top dir.
+    nested_live = base / "sg_chk_longrun_app"
+    (nested_live / "sink2" / "commits").mkdir(parents=True)
+    (nested_live / "sink2" / "commits" / "42").write_text("v1")
+    os.utime(nested_live, (old, old))
+    os.utime(nested_live / "sink2", (old, old))
 
     monkeypatch.setenv("SPARK_GRAFT_STREAM_CHK_BASE", str(base))
     got = sp._ephemeral_checkpoint_dir(spark, "sink1")
     assert got is not None and got.startswith(str(base))
     assert not stale.exists()  # dead run's RAM reclaimed
     assert fresh.exists()  # concurrent live session untouched
+    assert nested_live.exists()  # fresh nested commit keeps it alive
 
     monkeypatch.setenv("SPARK_GRAFT_STREAM_CHK_BASE", str(tmp_path / "absent"))
     assert sp._ephemeral_checkpoint_dir(spark, "sink1") is None

@@ -462,7 +462,11 @@ def _ephemeral_checkpoint_dir(spark: SparkSession, sink: str) -> str | None:
     otherwise sit in RAM until reboot). Staleness is age-based (> 1 h
     untouched), NOT ownership-based: a concurrent live session's dir
     must survive, and an availableNow checkpoint that has gone an
-    hour without a write is certainly dead."""
+    hour without a write is certainly dead. Liveness is the NEWEST
+    mtime anywhere under the dir (ADVICE r7): streaming commits land
+    in nested <sink>/offsets|commits files that never refresh the top
+    directory's mtime, so judging by the top dir alone would rmtree a
+    long-lived concurrent run's checkpoint mid-query."""
     import os
     import shutil
     import time
@@ -471,6 +475,19 @@ def _ephemeral_checkpoint_dir(spark: SparkSession, sink: str) -> str | None:
     if not os.path.isdir(base) or not os.access(base, os.W_OK):
         return None
     app = spark.sparkContext.applicationId
+
+    def _newest_mtime(root: str) -> float:
+        newest = os.path.getmtime(root)
+        for dirpath, dirnames, filenames in os.walk(root):
+            for entry in dirnames + filenames:
+                try:
+                    m = os.path.getmtime(os.path.join(dirpath, entry))
+                except OSError:
+                    continue  # file vanished mid-walk (live query)
+                if m > newest:
+                    newest = m
+        return newest
+
     try:
         cutoff = time.time() - 3600
         for d in os.listdir(base):
@@ -478,7 +495,7 @@ def _ephemeral_checkpoint_dir(spark: SparkSession, sink: str) -> str | None:
             if (
                 d.startswith("sg_chk_")
                 and d != f"sg_chk_{app}"
-                and os.path.getmtime(p) < cutoff
+                and _newest_mtime(p) < cutoff
             ):
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
