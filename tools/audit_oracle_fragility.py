@@ -82,7 +82,9 @@ def main() -> None:
         if name not in plans.ORACLES:
             print(f"{name:40s} SKIP (rows-only carve-out, no oracle)")
             continue
-        sql = plans.ORACLES[name]
+        raw = plans.ORACLES[name]
+        # strip -- comments so documentation lines can't false-positive
+        sql = re.sub(r"--[^\n]*", "", raw)
         lines: list[str] = []
 
         dec_hits = decimal_literal_hits(sql)
@@ -98,9 +100,10 @@ def main() -> None:
             n_round += 1
             lines.append(f"  [C bare-ROUND] {len(ROUND_RE.findall(sql))} site(s)")
 
-        # empirical probes
+        # empirical probes (run the RAW sql — stripping would corrupt a
+        # hypothetical '--' inside a string literal)
         try:
-            rows = con.execute(sql).fetchall()
+            rows = con.execute(raw).fetchall()
         except Exception as exc:  # pragma: no cover - audit robustness
             lines.append(f"  [!] oracle failed to run: {exc}")
             rows = []

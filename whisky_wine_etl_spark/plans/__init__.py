@@ -90,3 +90,4 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round5c  # noqa: F401
     from whisky_wine_etl_spark.plans import round6a  # noqa: F401
     from whisky_wine_etl_spark.plans import round7a  # noqa: F401
+    from whisky_wine_etl_spark.plans import round8a  # noqa: F401

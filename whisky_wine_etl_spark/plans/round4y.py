@@ -203,13 +203,23 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sketch_equidepth_hist",
     """
-WITH bounds AS (
-  SELECT [quantile_disc(o_totalprice, 0.1), quantile_disc(o_totalprice, 0.2),
-          quantile_disc(o_totalprice, 0.3), quantile_disc(o_totalprice, 0.4),
-          quantile_disc(o_totalprice, 0.5), quantile_disc(o_totalprice, 0.6),
-          quantile_disc(o_totalprice, 0.7), quantile_disc(o_totalprice, 0.8),
-          quantile_disc(o_totalprice, 0.9)] AS bs
+WITH rk AS (
+  -- explicit rank selection, NOT quantile_disc (its index rule has
+  -- varied across DuckDB versions — r8 oracle-fragility audit):
+  -- percentile_disc(k/10) = value at 1-based rank ceil(k*n/10),
+  -- and ceil(k*n/10) = (k*n+9)//10 in pure integers. Matches the
+  -- Spark side's coarse-histogram + in-bin exact ranking.
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER () AS n
   FROM orders
+),
+bounds AS (
+  SELECT list(v ORDER BY v) AS bs
+  FROM rk
+  WHERE rn IN ((1*n+9)//10, (2*n+9)//10, (3*n+9)//10, (4*n+9)//10,
+               (5*n+9)//10, (6*n+9)//10, (7*n+9)//10, (8*n+9)//10,
+               (9*n+9)//10)
 ),
 binned AS (
   SELECT CAST(len(list_filter(bounds.bs, b -> b < o.o_totalprice)) AS BIGINT) AS bucket,
