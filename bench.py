@@ -180,6 +180,12 @@ HEADLINE = [
     # hub-injected graph, ~4.8 s of deliberate Σdeg² stress).
     "sample_stratified_quota",        # exact-budget stratified sample (2-phase top-k)
     "stream_rocksdb_tumbling",        # RocksDB state-store determinism twin
+    # round-8 additions (same pre-flight: sf0.1 oracle-green + timed —
+    # 1.1 s and 2.2 s warm; first call pays a one-time setup the
+    # per-(sf,app) dir guard then skips: the 3-batch chaos stream /
+    # the three format writes).
+    "stream_sink_exactly_once_chaos", # manifest sink exactly-once under retry debris
+    "source_format_fidelity_matrix",  # parquet/orc/csv type-fidelity matrix
 ]
 
 

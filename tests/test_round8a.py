@@ -60,6 +60,24 @@ def test_fidelity_matrix_all_formats_exact(spark):
         assert r.n_rows == r.n_back == r.n_exact > 0
 
 
+def test_fidelity_matrix_join_is_hash_keyed(spark):
+    """The data-sized fidelity join must hash on the null-safe column
+    keys (BroadcastHashJoin/SortMergeJoin), never degrade to a
+    nested-loop over orders x orders. The only NestedLoop nodes
+    allowed are the 1-row aggregate crossJoins."""
+    df = plans.QUERIES["source_format_fidelity_matrix"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # every equality join keyed (null-safe -> coalesce/isnull keys)
+    assert "BroadcastHashJoin [coalesce(okey" in plan or (
+        "SortMergeJoin [coalesce(okey" in plan
+    )
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line  # 1-row aggregate crosses only
+
+
 def test_fidelity_matrix_csv_readback_preserves_types(spark):
     """The csv leg re-reads with the written schema — assert the frame
     the query builds and the csv read-back agree on every dtype,

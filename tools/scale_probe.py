@@ -44,6 +44,7 @@ PROBES = [
     ("agg_weighted_median_2pass", "distributed selection"),
     ("corpus_duplicate_spans", "shingle index + semi-join spans (round 7: unhinted)"),
     ("sample_stratified_quota", "two-phase stratified top-k under a global budget (round 7)"),
+    ("source_format_fidelity_matrix", "3-format full-table write + read-back fidelity join (round 8)"),
 ]
 
 SCALED = {"lineitem", "orders", "part", "documents", "events"}
