@@ -1,0 +1,83 @@
+"""Permanent regression gate for the r8 oracle-fragility discipline
+(tools/logs/r8_oracle_fragility_audit.md): the hazard classes that
+produced the only two driver reds in project history (r5 cusum, r7
+diag) must never re-enter the oracle corpus.
+
+These are STATIC + cheap-empirical checks (DuckDB only, sf0.001) —
+they complement, not replace, the parity sweeps and the FP-order
+perturbation audit.
+"""
+
+from __future__ import annotations
+
+import decimal
+import re
+
+import duckdb
+import pytest
+
+from whisky_wine_etl_spark import plans
+from whisky_wine_etl_spark.parity import duckdb_connection
+
+plans.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+# Driver-green quantile_cont holdovers, adjudicated in the r8 audit:
+# the (n-1)*p interpolation rule matches Spark percentile_cont and has
+# been stable across DuckDB history. ADDITIONS to this list are a
+# design decision, not a default.
+_QUANTILE_CONT_ALLOWED = {
+    "agg_median_percentile",
+    "agg_mode_percentile_cont",
+    "agg_trimmed_winsorized",
+    "events_funnel_latency",
+    "graph_kcore",
+    "stat_bootstrap_poisson",
+    "stat_theil_sen_daily",
+    "window_rolling_median",
+}
+
+
+def _stripped(sql: str) -> str:
+    return re.sub(r"--[^\n]*", "", sql)
+
+
+def test_no_quantile_disc_anywhere():
+    """quantile_disc's index rule has varied across DuckDB versions —
+    zero uses allowed (explicit rank selection is the replacement)."""
+    offenders = [
+        n
+        for n, s in plans.ORACLES.items()
+        if re.search(r"\bquantile_disc\b", _stripped(s), re.I)
+    ]
+    assert offenders == []
+
+
+def test_quantile_cont_only_in_adjudicated_set():
+    users = {
+        n
+        for n, s in plans.ORACLES.items()
+        if re.search(r"\bquantile_cont\b", _stripped(s), re.I)
+    }
+    assert users <= _QUANTILE_CONT_ALLOWED, (
+        f"new quantile_cont user(s) {users - _QUANTILE_CONT_ALLOWED}: "
+        "prefer explicit rank selection (see r8 audit doc)"
+    )
+
+
+@pytest.fixture(scope="module")
+def con() -> duckdb.DuckDBPyConnection:
+    return duckdb_connection(SF)
+
+
+def test_no_decimal_typed_output_cells(con):
+    """A DECIMAL-typed output means version-dependent scale rules
+    reach the driver hash (probe D of the r8 audit; the
+    events_attribution_models class). Must stay at zero."""
+    offenders = []
+    for name, sql in plans.ORACLES.items():
+        rows = con.execute(sql).fetchall()
+        if any(isinstance(v, decimal.Decimal) for r in rows for v in r):
+            offenders.append(name)
+    assert offenders == []
