@@ -45,6 +45,8 @@ PROBES = [
     ("corpus_duplicate_spans", "shingle index + semi-join spans (round 7: unhinted)"),
     ("sample_stratified_quota", "two-phase stratified top-k under a global budget (round 7)"),
     ("source_format_fidelity_matrix", "3-format full-table write + read-back fidelity join (round 8)"),
+    ("join_salted_skew", "salt-and-replicate skew join, 57% of rows on one key (r9 staged)"),
+    ("stream_full_outer_attribution", "stream-stream full outer, two-sided state eviction (r9 staged)"),
 ]
 
 SCALED = {"lineitem", "orders", "part", "documents", "events"}
@@ -124,6 +126,11 @@ def main() -> int:
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
     plans.load_all()
+    # staged-but-unregistered candidates are probed too (tools are not
+    # driver surface, so registering here never touches the slate)
+    from whisky_wine_etl_spark.plans import round9a  # noqa: E402
+
+    round9a.register()
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     scaled = build_scaled_dir(spark, sf_dir, k)
     print(f"scaled dir: {scaled} (K={k})", flush=True)

@@ -231,6 +231,55 @@ def stream_stream_left_outer(events: DataFrame, horizon_sec: int = 3600) -> Data
     )
 
 
+def stream_stream_full_outer(events: DataFrame, horizon_sec: int = 3600) -> DataFrame:
+    """Stream-stream FULL OUTER join: every signup AND every purchase
+    emits exactly once — as a matched pair when a same-user purchase
+    lands within `horizon_sec` of the signup, else NULL-padded from
+    whichever side stays unmatched. Distinct from the left-outer form
+    (stream_stream_left_outer) in the second eviction rule: an
+    unmatched PURCHASE is also state, emitted only when the watermark
+    proves no late signup can still open a horizon containing it
+    (the condition bounds signup_ts ∈ (purchase_ts − horizon,
+    purchase_ts], so purchase-side state is droppable once the signup
+    watermark passes purchase_ts). Both NULL rows are proofs, so
+    append mode stays exact; the far-future sentinel batch flushes
+    BOTH sides' tails. State is bounded by watermark + horizon on
+    each side — at 100 TB that is the property that lets two
+    unbounded firehoses join with O(horizon · rate) memory."""
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+    ).withWatermark("signup_ts", "10 minutes")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", "10 minutes")
+    j = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("signup_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        ),
+        "fullOuter",
+    )
+    return j.select(
+        "signup_event_id",
+        "purchase_event_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        (F.col("purchase_ts").cast("long") - F.col("signup_ts").cast("long")).alias(
+            "dt_sec"
+        ),
+        F.floor(F.col("purchase_value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("value_4dp"),
+    )
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
