@@ -8,6 +8,7 @@ stream_sink_exactly_once_chaos's fixed scenario."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
@@ -34,6 +35,13 @@ _op = st.tuples(st.sampled_from(["commit", "zombie", "abort", "overwrite"]), _ro
 def test_manifest_protocol_exactly_once(spark, ops):
     spark.dataSource.register(ManifestJsonlDataSource)
     path = tempfile.mkdtemp(prefix="sg_mjprop_")
+    try:
+        _check_manifest_protocol(spark, ops, path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _check_manifest_protocol(spark, ops, path):
     expected: list[int] = []
     seq = 0
     for kind, vals in ops:

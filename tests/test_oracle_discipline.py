@@ -81,3 +81,46 @@ def test_no_decimal_typed_output_cells(con):
         if any(isinstance(v, decimal.Decimal) for r in rows for v in r):
             offenders.append(name)
     assert offenders == []
+
+
+# Queries whose pre-round values were measured EXACTLY ON (or within
+# ulps of) rounding halves by the r8-extension pre-round probe
+# (tools/audit_oracle_fragility.py probe E, fixed 2026-08-16) and
+# therefore migrated to the pinned floor(x*10^n + 0.5)/10^n discipline
+# on BOTH engines. Bare ROUND must never return to these oracles —
+# their data provably sits where engine rounding rules split.
+_PINNED_ON_HALF = [
+    "text_token_stats",
+    "text_quality_score",
+    "text_readability_flesch",
+    "text_cdc_chunks",
+    "ts_time_weighted_avg",
+    "ts_holt_linear",
+    "q15_top_supplier",
+]
+
+
+def test_on_half_migrations_stay_pinned():
+    for name in _PINNED_ON_HALF:
+        sql = _stripped(plans.ORACLES[name])
+        assert not re.search(r"\bROUND\s*\(", sql, re.I), (
+            f"{name}: bare ROUND reintroduced — this oracle's data sits "
+            "ON rounding halves (r8-extension probe); keep the floor-pin"
+        )
+        assert re.search(r"FLOOR\s*\(", sql, re.I), name
+
+
+def test_pre_round_substitution_arity():
+    """The probe's ROUND rewriter must handle nesting and 1-arg calls."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "frag", "tools/audit_oracle_fragility.py"
+    )
+    frag = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(frag)
+    out = frag.substitute_round("SELECT ROUND(x), round(ROUND(y, 2) + 1, 4)")
+    assert out == (
+        "SELECT __pre_round_dist(x, 0), "
+        "__pre_round_dist(__pre_round_dist(y, 2) + 1, 4)"
+    )

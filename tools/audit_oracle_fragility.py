@@ -27,11 +27,21 @@ Empirical probes (DuckDB at the given sf_dir)
      ``decimal.Decimal`` means the oracle's output type is DECIMAL, whose
      scale is version-dependent (and the driver hash would already differ
      locally; expected zero hits while green).
-  E. boundary-distance probe — for every float output cell x of a
-     ROUND-using oracle, the distance of ``x * 10^6`` to the nearest
-     half-integer; a cell within 1e-3 of a half sits where engine rounding
-     disciplines can split. (10^6 because the repo rounds outputs to 6 dp;
-     coarser roundings only move cells FURTHER from 6-dp halves.)
+  E. PRE-round boundary-distance probe — the original form of this probe
+     scaled the POST-round output by 10^6, which is tautologically far
+     from every half (ROUND(x, n<=6) makes x*10^6 an integer up to ulp),
+     so it could never see the r5/r7 hazard it was built for. The fixed
+     probe substitutes every ``ROUND(`` call with a DuckDB macro that
+     emits the PRE-round value's distance to the nearest half at the
+     call's own scale: ``abs(frac(|x|*10^n) - 0.5)``. Distances land in
+     [0, 0.5]; a cell within 1e-8 of zero is a value sitting ON a
+     representable half (the dyadic-rational class ts_cusum/ts_holt hit),
+     where HALF_UP-vs-nearest-even or engine drift can split. The
+     substitution changes predicate/order semantics on rounded values —
+     acceptable for a probe — and oracles where ROUND feeds a context the
+     macro breaks report "substitution inapplicable" instead of a false
+     "ok". Non-ROUND float columns can land in [0, 0.5] too; that only
+     produces conservative extra flags, never a miss.
 
 Usage: python tools/audit_oracle_fragility.py [sf_dir] [name1,name2,...]
 Writes a full report to stdout (tee to tools/logs/).
@@ -69,6 +79,48 @@ def decimal_literal_hits(sql: str) -> list[str]:
     return hits
 
 
+# Probe-E macro: ROUND(x, n) call sites are rewritten to this, turning
+# every rounded output cell into its PRE-round distance-to-half at the
+# call's own scale. NULL/non-finite/overflow-scale inputs report 0.5
+# (i.e. "far from a half") so they never false-flag.
+PRE_ROUND_DIST_MACRO = """
+CREATE OR REPLACE MACRO __pre_round_dist(x, n) AS
+  CASE
+    WHEN x IS NULL THEN CAST(NULL AS DOUBLE)
+    WHEN NOT isfinite(CAST(x AS DOUBLE)) THEN 0.5
+    WHEN abs(CAST(x AS DOUBLE)) * pow(10, n) > 4.5e15 THEN 0.5
+    ELSE abs(abs(CAST(x AS DOUBLE)) * pow(10, n)
+             - floor(abs(CAST(x AS DOUBLE)) * pow(10, n)) - 0.5)
+  END
+"""
+
+
+def substitute_round(sql: str) -> str:
+    """Rewrite every ROUND(...) call to __pre_round_dist(...), arity-
+    aware: 1-arg ROUND(x) (integer rounding) becomes
+    __pre_round_dist(x, 0). Nested ROUNDs resolve by re-scanning until
+    none remain (the replacement token contains no 'ROUND')."""
+    pat = re.compile(r"\bROUND\s*\(", re.I)
+    while True:
+        m = pat.search(sql)
+        if m is None:
+            return sql
+        i, depth, comma_at_depth1 = m.end(), 1, False
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                comma_at_depth1 = True
+            i += 1
+        inner = sql[m.end() : i - 1]
+        if not comma_at_depth1:
+            inner += ", 0"
+        sql = sql[: m.start()] + "__pre_round_dist(" + inner + ")" + sql[i:]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     plans.load_all()
@@ -76,6 +128,7 @@ def main() -> None:
         sys.argv[2].split(",") if len(sys.argv) > 2 else sorted(plans.ORACLES)
     )
     con = duckdb_connection(sf_dir)
+    con.execute(PRE_ROUND_DIST_MACRO)
 
     n_dec = n_q = n_round = n_decout = n_near = 0
     for name in names:
@@ -114,25 +167,64 @@ def main() -> None:
             n_decout += 1
             lines.append("  [D DECIMAL-typed output] Decimal cell in result")
         if has_round:
-            worst = None
-            for r in rows:
-                for v in r:
-                    if isinstance(v, float) and math.isfinite(v):
-                        scaled = abs(v) * 1e6
-                        if scaled > 2**52:  # beyond ulp resolution
-                            continue
-                        frac = scaled - math.floor(scaled)
-                        d = abs(frac - 0.5)
-                        if worst is None or d < worst:
-                            worst = d
-            if worst is not None:
-                tag = "NEAR-HALF" if worst < 1e-3 else "ok"
-                if worst < 1e-3:
-                    n_near += 1
+            pre_sql = substitute_round(raw)
+            try:
+                pre_rel = con.execute(pre_sql)
+                pre_cols = [d[0] for d in pre_rel.description]
+                pre_rows = pre_rel.fetchall()
+            except Exception:  # ROUND fed a context the macro breaks
                 lines.append(
-                    f"  [E boundary-distance] min |frac(x*1e6)-0.5| = "
-                    f"{worst:.6f} -> {tag}"
+                    "  [E pre-round distance] substitution inapplicable "
+                    "(adjudicate by hand)"
                 )
+            else:
+                if len(pre_rows) != len(rows):
+                    # ROUND feeds a predicate: the substitution changed
+                    # the row set, so per-cell differencing is
+                    # meaningless AND the query has a rounding-rule
+                    # cliff inside a filter — its own hazard class
+                    lines.append(
+                        "  [E pre-round distance] ROUND feeds a "
+                        "predicate (row set changed under substitution "
+                        "— adjudicate the threshold by hand)"
+                    )
+                    pre_rows = []
+                # distance candidates = CELLS present in the substituted
+                # run but absent (per-column multiset difference) from
+                # the raw run — raw float cells that merely live in
+                # [0, 0.5] (ratios, deviations, literals) cancel out
+                from collections import Counter
+
+                worst = None
+                for i in range(len(pre_cols)):
+                    raw_left = Counter(repr(r[i]) for r in rows)
+                    for r in pre_rows:
+                        v = r[i]
+                        key = repr(v)
+                        if raw_left[key] > 0:
+                            raw_left[key] -= 1  # unchanged cell
+                            continue
+                        if (
+                            isinstance(v, float)
+                            and math.isfinite(v)
+                            and 0.0 <= v <= 0.5
+                        ):
+                            if worst is None or v < worst:
+                                worst = v
+                if worst is not None:
+                    tag = "ON-HALF" if worst < 1e-8 else "ok"
+                    if worst < 1e-8:
+                        n_near += 1
+                    lines.append(
+                        f"  [E pre-round distance] min dist-to-half = "
+                        f"{worst:.3e} -> {tag}"
+                    )
+                elif pre_rows:
+                    lines.append(
+                        "  [E pre-round distance] no float distance "
+                        "surfaced (ROUND feeds an integer/cast context — "
+                        "adjudicate by hand)"
+                    )
 
         status = "CLEAN" if not lines else "REVIEW"
         print(f"{name:40s} {status}")
@@ -142,7 +234,7 @@ def main() -> None:
     print(
         f"\nSUMMARY over {len(names)} oracles: "
         f"decimal-literal={n_dec} quantile={n_q} bare-ROUND={n_round} "
-        f"decimal-output={n_decout} near-half={n_near}"
+        f"decimal-output={n_decout} pre-round-on-half={n_near}"
     )
 
 

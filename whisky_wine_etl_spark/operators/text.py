@@ -38,6 +38,16 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("int")
 
 
+def _pin4(col: Column) -> Column:
+    """floor(x·1e4 + 0.5)/1e4 — the shared pinned-rounding discipline
+    (r8 oracle-fragility audit rule 3) at 4 dp. Token/stopword ratios
+    are small-denominator rationals that land EXACTLY on 4-dp halves
+    (e.g. p/32 → x.xxx5), where Spark HALF_UP and DuckDB's rounding
+    have split across versions; this is the same three IEEE ops on
+    both engines, so identical inputs stay identical."""
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = tokens(text_col)
     return df.select(
@@ -45,14 +55,13 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         token_count(text_col).alias("n_tokens"),
         F.length(text_col).cast("int").alias("n_chars_actual"),
         F.size(F.array_distinct(t)).cast("int").alias("n_unique_tokens"),
-        F.round(
+        _pin4(
             F.aggregate(
                 F.transform(t, lambda w: F.length(w).cast("double")),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            / F.size(t),
-            4,
+            / F.size(t)
         ).alias("avg_token_len"),
     )
 
@@ -68,14 +77,14 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     uniq_ratio = F.size(F.array_distinct(t)) / n_tok
     stop_ratio = n_stop / n_tok
     length_credit = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
-    score = F.round(
-        0.4 * length_credit + 0.4 * uniq_ratio + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)), 4
+    score = _pin4(
+        0.4 * length_credit + 0.4 * uniq_ratio + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
     )
     return df.select(
         id_col,
         n_tok.cast("int").alias("n_tokens"),
-        F.round(uniq_ratio, 4).alias("unique_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        _pin4(uniq_ratio).alias("unique_ratio"),
+        _pin4(stop_ratio).alias("stopword_ratio"),
         score.alias("quality_score"),
     )
 

@@ -71,8 +71,10 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        CAST(length(text) AS INT) AS n_chars_actual,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens,
-       ROUND(CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS avg_token_len
+       -- pinned rounding (r8 audit rule 3): avg token length is a
+       -- small-denominator rational that lands EXACTLY on 4-dp halves
+       FLOOR(CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS DOUBLE)
+             / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len
 FROM documents
 """,
 )
@@ -95,17 +97,21 @@ WITH t AS (
 feat AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
-         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
-         len(list_filter(toks, w -> w IN ({_STOP}))) * 1.0 / len(toks) AS stop_ratio,
-         least(n_chars_actual / 500.0, 1.0) AS length_credit
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+         CAST(len(list_filter(toks, w -> w IN ({_STOP}))) AS DOUBLE)
+           / len(toks) AS stop_ratio,
+         least(CAST(n_chars_actual AS DOUBLE) / 500.0, 1.0) AS length_credit
   FROM t
 )
 SELECT doc_id,
        CAST(n_tokens AS INT) AS n_tokens,
-       ROUND(uniq_ratio, 4) AS unique_ratio,
-       ROUND(stop_ratio, 4) AS stopword_ratio,
-       ROUND(0.4 * length_credit + 0.4 * uniq_ratio
-             + 0.2 * least(stop_ratio * 5, 1.0), 4) AS quality_score
+       -- pinned rounding (r8 audit rule 3): token ratios land EXACTLY
+       -- on 4-dp halves (p/32 class) where engine round rules can split
+       FLOOR(uniq_ratio * 10000 + 0.5) / 10000 AS unique_ratio,
+       FLOOR(stop_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+       FLOOR((0.4 * length_credit + 0.4 * uniq_ratio
+              + 0.2 * least(stop_ratio * 5, 1.0)) * 10000 + 0.5)
+         / 10000 AS quality_score
 FROM feat
 """,
 )

@@ -39,8 +39,9 @@ WITH seg AS (
 SELECT user_id,
        CAST(COUNT(dur_us) AS BIGINT) AS n_segments,
        CAST(SUM(dur_us) AS BIGINT) AS span_us,
-       ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS twa_value,
-       ROUND(AVG(value), 6) AS naive_avg
+       FLOOR(SUM(value * dur_us) / SUM(dur_us) * 1000000 + 0.5)
+         / 1000000 AS twa_value,
+       FLOOR(AVG(value) * 1000000 + 0.5) / 1000000 AS naive_avg
 FROM seg WHERE dur_us IS NOT NULL
 GROUP BY user_id ORDER BY user_id
 """,
@@ -63,10 +64,18 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),
             F.sum("dur_us").cast("bigint").alias("span_us"),
-            F.round(
-                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            (
+                F.floor(
+                    F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("twa_value"),
-            F.round(F.avg("value"), 6).alias("naive_avg"),
+            (
+                F.floor(F.avg("value") * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("naive_avg"),
         )
         .orderBy("user_id")
     )

@@ -136,7 +136,10 @@ WITH ch AS (
 SELECT d.doc_id,
        CAST(COUNT(ch.chunk) AS BIGINT) AS n_chunks,
        CAST(COALESCE(MAX(length(ch.chunk)), 0) AS BIGINT) AS max_chunk_len,
-       ROUND(COALESCE(AVG(length(ch.chunk)), 0), 3) AS mean_chunk_len
+       -- pinned rounding (r8 audit rule 3): mean of integer lengths
+       -- is a small-denominator rational that can sit on 3-dp halves
+       FLOOR(COALESCE(AVG(length(ch.chunk)), 0) * 1000 + 0.5)
+         / 1000 AS mean_chunk_len
 FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id
 GROUP BY d.doc_id
 """,
@@ -156,7 +159,10 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ch.groupBy("doc_id").agg(
         F.count("chunk").cast("bigint").alias("n_chunks"),
         F.max(F.length("chunk")).cast("bigint").alias("max_chunk_len"),
-        F.round(F.avg(F.length("chunk")), 3).alias("mean_chunk_len"),
+        (
+            F.floor(F.avg(F.length("chunk")) * F.lit(1000.0) + F.lit(0.5))
+            / F.lit(1000.0)
+        ).alias("mean_chunk_len"),
     )
     return (
         docs.select("doc_id")

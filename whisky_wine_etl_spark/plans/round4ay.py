@@ -39,7 +39,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "ts_holt_linear",
     f"""
 WITH RECURSIVE s0 AS (
-  SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS v
+  -- pinned input rounding (r8 audit rule 3): the daily sum feeds a
+  -- 64-step recursion, so a single half-boundary round-rule split
+  -- would diverge the whole fold — same floor discipline as the
+  -- outputs below
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         FLOOR(SUM(value) * 1000000 + 0.5) / 1000000 AS v
   FROM events GROUP BY user_id, CAST(ts AS DATE)
 ),
 s AS (
@@ -87,7 +92,12 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     s0 = (
         e.groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.round(F.sum("value"), 6).alias("v"))
+        .agg(
+            (
+                F.floor(F.sum("value") * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("v")
+        )
     )
     w = Window.partitionBy("user_id").orderBy("day")
     s = (

@@ -905,8 +905,12 @@ m AS (
 )
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        CAST(n_syll AS BIGINT) AS n_syllables,
-       ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sent)
-                     - 84.6 * (n_syll * 1.0 / n_words), 4) AS flesch
+       -- pinned rounding (r8 audit rule 3) on pure-double ratios: the
+       -- score is a rational of small integers, which can sit exactly
+       -- on (or within ulps of) 4-dp halves where round rules split
+       FLOOR((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                      - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+             * 10000 + 0.5) / 10000 AS flesch
 FROM m
 """,
 )
@@ -915,8 +919,10 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentences) − 84.6·(syllables/words), syllables estimated as
     vowel-group runs (min 1 per word). Sentence/word/syllable counts
     are all array-local regex work inside one map-only projection —
-    zero shuffles, and the score is a ratio of exact integers so both
-    engines agree bit-for-bit at 4 dp."""
+    zero shuffles. The score is a rational of exact integers, so both
+    engines compute the identical double; the 4-dp emit uses the
+    pinned floor(x*1e4+0.5)/1e4 discipline on BOTH engines because
+    such rationals can sit exactly on rounding halves (r8 audit)."""
     docs = _t(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
@@ -950,11 +956,17 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         F.col("n_syll").cast("long").alias("n_syllables"),
-        F.round(
-            F.lit(206.835)
-            - 1.015 * (F.col("n_words") / F.col("n_sent"))
-            - 84.6 * (F.col("n_syll") / F.col("n_words")),
-            4,
+        (
+            F.floor(
+                (
+                    F.lit(206.835)
+                    - 1.015 * (F.col("n_words") / F.col("n_sent"))
+                    - 84.6 * (F.col("n_syll") / F.col("n_words"))
+                )
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
         ).alias("flesch"),
     )
 

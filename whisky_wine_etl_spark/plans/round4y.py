@@ -209,6 +209,11 @@ WITH rk AS (
   -- percentile_disc(k/10) = value at 1-based rank ceil(k*n/10),
   -- and ceil(k*n/10) = (k*n+9)//10 in pure integers. Matches the
   -- Spark side's coarse-histogram + in-bin exact ranking.
+  -- PRECONDITION n >= 10: with fewer rows the decile ranks collide,
+  -- this rn IN (...) dedups the colliding bounds while the Spark
+  -- side keeps all 9 (possibly duplicate) bounds, and bucket
+  -- numbering would diverge. Unreachable on real orders (n >= 1500
+  -- at sf0.001) — do NOT reuse this pattern on tiny fixtures.
   SELECT o_totalprice AS v,
          ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
          COUNT(*) OVER () AS n

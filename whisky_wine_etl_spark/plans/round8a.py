@@ -100,7 +100,15 @@ def stream_sink_exactly_once_chaos(spark: SparkSession, sf_dir: str) -> DataFram
 
     target = _tmpdir(spark, sf_dir, "mjchaos")
     manifest = os.path.join(target, "_MANIFEST")
-    if not os.path.exists(manifest):
+    # Setup is cached per-(sf, app), but ONLY behind a completion marker
+    # written after the stream terminates: the manifest itself commits
+    # incrementally per micro-batch, so its bare existence could be a
+    # crash leftover (partial manifest -> permanently short read-backs).
+    done_marker = os.path.join(target, "_CHAOS_COMPLETE")
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)  # drop partial debris
         spark.dataSource.register(ManifestJsonlDataSource)
         landing = sp.multibatch_landing(spark, sf_dir, n_files=3)
         stream = sp.file_events_stream(
@@ -121,6 +129,9 @@ def stream_sink_exactly_once_chaos(spark: SparkSession, sf_dir: str) -> DataFram
             w.abort([doomed])
 
         chk = _tmpdir(spark, sf_dir, "mjchaos_chk")
+        import shutil as _sh
+
+        _sh.rmtree(chk, ignore_errors=True)  # fresh stream, fresh offsets
         q = (
             stream.writeStream.foreachBatch(handle)
             .trigger(availableNow=True)
@@ -129,6 +140,8 @@ def stream_sink_exactly_once_chaos(spark: SparkSession, sf_dir: str) -> DataFram
         )
         q.awaitTermination()
         q.stop()
+        with open(done_marker, "w") as mf:
+            mf.write("ok")
 
     import json
 
@@ -213,7 +226,10 @@ def source_format_fidelity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     orig = d.alias("a")
     for fmt in _FID_FORMATS:
         path = os.path.join(base, fmt)
-        if not os.path.isdir(path):
+        # cache only behind Spark's commit marker — a bare directory can
+        # be a crashed write's debris, which would read back short and
+        # report a false fidelity failure for the rest of the session
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
             w = d.write.mode("overwrite")
             if fmt == "csv":
                 (

@@ -159,7 +159,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     """
 WITH rev AS (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  -- pinned rounding (r8 audit rule 3): revenue sums of 4-dp products
+  -- land EXACTLY on 2-dp halves (measured at sf0.01), where engine
+  -- round rules split — and here the value also feeds the =MAX gate
+  SELECT l_suppkey,
+         FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+           / 100 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
   GROUP BY l_suppkey
@@ -192,9 +197,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("total_revenue")
         )
         .localCheckpoint(eager=True)
     )

@@ -525,17 +525,21 @@ def _ephemeral_checkpoint_dir(spark: SparkSession, sink: str) -> str | None:
         return None
     app = spark.sparkContext.applicationId
 
-    def _newest_mtime(root: str) -> float:
-        newest = os.path.getmtime(root)
+    def _touched_since(root: str, cutoff: float) -> bool:
+        """True as soon as ANY entry under root is newer than cutoff —
+        a live checkpoint has fresh offset/commit files near the top,
+        so the common (live) case returns after a handful of stats
+        instead of walking hundreds of state-store files."""
+        if os.path.getmtime(root) >= cutoff:
+            return True
         for dirpath, dirnames, filenames in os.walk(root):
             for entry in dirnames + filenames:
                 try:
-                    m = os.path.getmtime(os.path.join(dirpath, entry))
+                    if os.path.getmtime(os.path.join(dirpath, entry)) >= cutoff:
+                        return True
                 except OSError:
                     continue  # file vanished mid-walk (live query)
-                if m > newest:
-                    newest = m
-        return newest
+        return False
 
     try:
         cutoff = time.time() - 3600
@@ -544,7 +548,7 @@ def _ephemeral_checkpoint_dir(spark: SparkSession, sink: str) -> str | None:
             if (
                 d.startswith("sg_chk_")
                 and d != f"sg_chk_{app}"
-                and _newest_mtime(p) < cutoff
+                and not _touched_since(p, cutoff)
             ):
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
