@@ -61,12 +61,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered so a budget-capped driver verifies the highest-value
     queries first: reference Part-A (wine_*) before everything else,
-    and queries with no green CORRECTNESS row yet before ones already
-    verified in an earlier round. Ties keep registration order."""
+    queries with no green CORRECTNESS row yet before ones already
+    verified in an earlier round, and — within the already-verified
+    tail — queries whose code changed SINCE their green row before
+    untouched ones (the _RECHECK_FIRST list), so the driver's spare
+    slots re-verify exactly what moved. Ties keep registration
+    order."""
     green = _verified_names()
     names = list(plans.QUERIES)
+    # Verified queries whose Spark code or oracle changed after their
+    # last green CORRECTNESS row — maintained by hand at each change.
+    # r8 extension (2026-08-16): the 7 on-half pinned-rounding
+    # migrations (tools/logs/r8_oracle_fragility_audit.md, r8-EXTENSION
+    # section). Remove names once a NEW green row lands.
+    recheck = {
+        "text_token_stats",
+        "text_quality_score",
+        "text_readability_flesch",
+        "text_cdc_chunks",
+        "ts_time_weighted_avg",
+        "ts_holt_linear",
+        "q15_top_supplier",
+        # NOT the two r8 registrations (chaos sink / fidelity matrix):
+        # they are still unverified, i.e. already in the slate's front
+        # block — listing them here would perturb its order.
+    }
     # Stable sort: ties keep registration order without an index key.
-    names.sort(key=lambda n: (n in green, not n.startswith("wine_")))
+    names.sort(
+        key=lambda n: (n in green, n not in recheck, not n.startswith("wine_"))
+    )
     return {n: plans.QUERIES[n] for n in names}
 
 
