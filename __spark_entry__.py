@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # migrations (tools/logs/r8_oracle_fragility_audit.md, r8-EXTENSION
     # section). Remove names once a NEW green row lands.
     recheck = {
+        # pinned-rounding (on-half) migrations
         "text_token_stats",
         "text_quality_score",
         "text_readability_flesch",
@@ -82,13 +83,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_time_weighted_avg",
         "ts_holt_linear",
         "q15_top_supplier",
-        # NOT the two r8 registrations (chaos sink / fidelity matrix):
-        # they are still unverified, i.e. already in the slate's front
-        # block — listing them here would perturb its order.
+        # DECIMAL-arithmetic elimination (the diag-red class): every
+        # integer-context `x * 1.0 /` and `COUNT(*) + 1.0` bridge
+        # rewritten to CAST(x AS DOUBLE) on the oracle side
+        "assoc_rules_lift",
+        "corpus_bpe_apply",
+        "corpus_mixture_temperature",
+        "corpus_source_drift",
+        "dedup_canonical_summary",
+        "dedup_clusters",
+        "dedup_clusters_star",
+        "dedup_containment",
+        "dedup_containment_capped",
+        "dedup_incremental_neardup",
+        "dedup_ngram_capped",
+        "dedup_ngram_jaccard",
+        "diag_observe_ingest",
+        "events_dau_wau_mau",
+        "events_markov_transitions",
+        "events_retention_decay_fit",
+        "graph_pagerank_copurchase",
+        "ml_markov_next_event_eval",
+        "ml_naive_bayes_lang",
+        "sim_sparse_cosine_join",
+        "stat_benford_digits",
+        "stat_gini_revenue",
+        "stat_psi_value_drift",
+        "text_keyword_rake",
+        "text_repetition_signals",
+        "text_tfidf_top_terms",
     }
     # Stable sort: ties keep registration order without an index key.
+    # The recheck tier applies ONLY inside the verified block — an
+    # unverified name is already in the slate's front block, and
+    # letting recheck membership reorder it there would perturb the
+    # crafted registration order (ts_holt_linear is such a name: in
+    # the r8 slate AND code-changed).
     names.sort(
-        key=lambda n: (n in green, n not in recheck, not n.startswith("wine_"))
+        key=lambda n: (
+            n in green,
+            n in green and n not in recheck,
+            not n.startswith("wine_"),
+        )
     )
     return {n: plans.QUERIES[n] for n in names}
 

@@ -111,11 +111,18 @@ def test_on_half_migrations_stay_pinned():
 
 
 def test_pre_round_substitution_arity():
-    """The probe's ROUND rewriter must handle nesting and 1-arg calls."""
+    """The probe's ROUND rewriter must handle nesting, 1-arg calls,
+    and parens/commas hiding inside string literals."""
     import importlib.util
+    import pathlib
 
     spec = importlib.util.spec_from_file_location(
-        "frag", "tools/audit_oracle_fragility.py"
+        "frag",
+        str(
+            pathlib.Path(__file__).resolve().parents[1]
+            / "tools"
+            / "audit_oracle_fragility.py"
+        ),
     )
     frag = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(frag)
@@ -123,4 +130,15 @@ def test_pre_round_substitution_arity():
     assert out == (
         "SELECT __pre_round_dist(x, 0), "
         "__pre_round_dist(__pre_round_dist(y, 2) + 1, 4)"
+    )
+    # parens/commas inside string literals must not miscount depth
+    hostile = "SELECT ROUND(strpos(x, '('), 2) + length('),'), 'ROUND(' AS t"
+    assert frag.substitute_round(hostile) == (
+        "SELECT __pre_round_dist(strpos(x, '('), 2) + length('),'), "
+        "'ROUND(' AS t"
+    )
+    # doubled '' escape stays inside the literal
+    esc = "SELECT ROUND(len(x || 'it''s (a) test'), 0)"
+    assert frag.substitute_round(esc) == (
+        "SELECT __pre_round_dist(len(x || 'it''s (a) test'), 0)"
     )

@@ -20,7 +20,8 @@ Pattern classes
      correctly-rounded decimal output except at representable half
      boundaries (Spark HALF_UP vs DuckDB nearest-even sprintf path) and
      except under implementation drift. Floor-pinned
-     ``FLOOR(x*1000000 + 0.5)/1000000`` is the documented safe idiom.
+     ``FLOOR(x*10^n + 0.5)/10^n`` (any scale n, identical on both
+     engines) is the documented safe idiom.
 
 Empirical probes (DuckDB at the given sf_dir)
   D. output column type check — any output cell arriving as
@@ -33,15 +34,15 @@ Empirical probes (DuckDB at the given sf_dir)
      so it could never see the r5/r7 hazard it was built for. The fixed
      probe substitutes every ``ROUND(`` call with a DuckDB macro that
      emits the PRE-round value's distance to the nearest half at the
-     call's own scale: ``abs(frac(|x|*10^n) - 0.5)``. Distances land in
+     call's own scale, STRING-TAGGED as ``'PRD:<dist>'`` so a raw output
+     cell can never collide with (and mask) a distance. Distances land in
      [0, 0.5]; a cell within 1e-8 of zero is a value sitting ON a
      representable half (the dyadic-rational class ts_cusum/ts_holt hit),
-     where HALF_UP-vs-nearest-even or engine drift can split. The
-     substitution changes predicate/order semantics on rounded values —
-     acceptable for a probe — and oracles where ROUND feeds a context the
-     macro breaks report "substitution inapplicable" instead of a false
-     "ok". Non-ROUND float columns can land in [0, 0.5] too; that only
-     produces conservative extra flags, never a miss.
+     where HALF_UP-vs-nearest-even or engine drift can split. ROUND
+     feeding arithmetic/numeric predicates/casts fails to bind under the
+     VARCHAR macro and reports "substitution inapplicable" (by-hand
+     adjudication); string-comparable predicates shift the surviving row
+     set and are noted as reduced coverage.
 
 Usage: python tools/audit_oracle_fragility.py [sf_dir] [name1,name2,...]
 Writes a full report to stdout (tee to tools/logs/).
@@ -64,7 +65,7 @@ DEC_LIT = re.compile(r"(?<![\w.])(\d+\.\d+|\.\d+)(?![\w.])")
 CAST_DOUBLE = re.compile(r"CAST\s*\(\s*(\d+\.\d+|\.\d+)\s+AS\s+DOUBLE\s*\)", re.I)
 QUANTILE = re.compile(r"\bquantile_(disc|cont)\b", re.I)
 ROUND_RE = re.compile(r"\bROUND\s*\(", re.I)
-FLOOR_PIN = re.compile(r"FLOOR\s*\([^()]*\*\s*1000000(\.0)?\s*\+", re.I)
+FLOOR_PIN = re.compile(r"FLOOR\s*\([^()]*\*\s*10{2,6}(\.0)?\s*\+", re.I)
 
 
 def decimal_literal_hits(sql: str) -> list[str]:
@@ -80,11 +81,36 @@ def decimal_literal_hits(sql: str) -> list[str]:
 
 
 # Probe-E macro: ROUND(x, n) call sites are rewritten to this, turning
-# every rounded output cell into its PRE-round distance-to-half at the
-# call's own scale. NULL/non-finite/overflow-scale inputs report 0.5
-# (i.e. "far from a half") so they never false-flag.
+# every rounded output cell into a STRING-TAGGED pre-round
+# distance-to-half at the call's own scale ('PRD:<dist>'). The tag
+# makes distance cells unmistakable — a raw output cell can never
+# collide with one (the earlier numeric encoding silently swallowed a
+# genuine on-half distance whenever any raw cell in the column held
+# the same float, e.g. a literal 0.0). NULL stays NULL; non-finite /
+# overflow-scale inputs report 0.5 ("far from a half") so they never
+# false-flag. A ROUND feeding arithmetic or a numeric predicate now
+# fails to bind (VARCHAR where DOUBLE expected) → reported
+# "substitution inapplicable", the honest outcome for by-hand cases.
 PRE_ROUND_DIST_MACRO = """
 CREATE OR REPLACE MACRO __pre_round_dist(x, n) AS
+  CASE
+    WHEN x IS NULL THEN CAST(NULL AS VARCHAR)
+    WHEN NOT isfinite(CAST(x AS DOUBLE)) THEN 'PRD:0.5'
+    WHEN abs(CAST(x AS DOUBLE)) * pow(10, n) > 4.5e15 THEN 'PRD:0.5'
+    ELSE 'PRD:' || CAST(
+      abs(abs(CAST(x AS DOUBLE)) * pow(10, n)
+          - floor(abs(CAST(x AS DOUBLE)) * pow(10, n)) - 0.5) AS VARCHAR)
+  END
+"""
+
+# Numeric fallback macro for oracles whose ROUND feeds arithmetic /
+# numeric predicates / casts (where the VARCHAR tag cannot bind). Same
+# distance, as a DOUBLE — scanned with per-column multiset differencing
+# against the raw run, which is conservative: a distance colliding with
+# a raw cell value is swallowed, so the fallback can under-report,
+# never over-report. The precise string pass runs first.
+PRE_ROUND_DIST_MACRO_NUM = """
+CREATE OR REPLACE MACRO __pre_round_dist_num(x, n) AS
   CASE
     WHEN x IS NULL THEN CAST(NULL AS DOUBLE)
     WHEN NOT isfinite(CAST(x AS DOUBLE)) THEN 0.5
@@ -95,20 +121,59 @@ CREATE OR REPLACE MACRO __pre_round_dist(x, n) AS
 """
 
 
-def substitute_round(sql: str) -> str:
+def _first_round_outside_strings(sql: str, pat: re.Pattern) -> re.Match | None:
+    """First ROUND( match whose start is not inside a '...' literal."""
+    in_str = False
+    spans: list[tuple[int, int]] = []  # string-literal spans
+    start = 0
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 1  # doubled '' escape stays inside
+                else:
+                    in_str = False
+                    spans.append((start, i))
+        elif c == "'":
+            in_str = True
+            start = i
+        i += 1
+    if in_str:
+        spans.append((start, len(sql)))
+    for m in pat.finditer(sql):
+        if not any(a <= m.start() < b for a, b in spans):
+            return m
+    return None
+
+
+def substitute_round(sql: str, macro: str = "__pre_round_dist") -> str:
     """Rewrite every ROUND(...) call to __pre_round_dist(...), arity-
     aware: 1-arg ROUND(x) (integer rounding) becomes
     __pre_round_dist(x, 0). Nested ROUNDs resolve by re-scanning until
-    none remain (the replacement token contains no 'ROUND')."""
+    none remain (the replacement token contains no 'ROUND'). The
+    scanner is string-literal-aware on both the ROUND search and the
+    paren/comma walk, so quoted '(' ')' ',' (regex patterns, CSV-ish
+    constants) cannot miscount depth. Strip -- comments before calling
+    (main() does) so commented-out ROUNDs are not rewritten."""
     pat = re.compile(r"\bROUND\s*\(", re.I)
     while True:
-        m = pat.search(sql)
+        m = _first_round_outside_strings(sql, pat)
         if m is None:
             return sql
-        i, depth, comma_at_depth1 = m.end(), 1, False
+        i, depth, comma_at_depth1, in_str = m.end(), 1, False, False
         while i < len(sql) and depth:
             c = sql[i]
-            if c == "(":
+            if in_str:
+                if c == "'":
+                    if i + 1 < len(sql) and sql[i + 1] == "'":
+                        i += 1
+                    else:
+                        in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
@@ -118,7 +183,7 @@ def substitute_round(sql: str) -> str:
         inner = sql[m.end() : i - 1]
         if not comma_at_depth1:
             inner += ", 0"
-        sql = sql[: m.start()] + "__pre_round_dist(" + inner + ")" + sql[i:]
+        sql = sql[: m.start()] + macro + "(" + inner + ")" + sql[i:]
 
 
 def main() -> None:
@@ -129,6 +194,7 @@ def main() -> None:
     )
     con = duckdb_connection(sf_dir)
     con.execute(PRE_ROUND_DIST_MACRO)
+    con.execute(PRE_ROUND_DIST_MACRO_NUM)
 
     n_dec = n_q = n_round = n_decout = n_near = 0
     for name in names:
@@ -167,64 +233,92 @@ def main() -> None:
             n_decout += 1
             lines.append("  [D DECIMAL-typed output] Decimal cell in result")
         if has_round:
-            pre_sql = substitute_round(raw)
+            worst = None
+            precise = True
+            note = None
+            # pass 1 — precise string-tagged distances (collision-proof)
             try:
-                pre_rel = con.execute(pre_sql)
-                pre_cols = [d[0] for d in pre_rel.description]
-                pre_rows = pre_rel.fetchall()
-            except Exception:  # ROUND fed a context the macro breaks
-                lines.append(
-                    "  [E pre-round distance] substitution inapplicable "
-                    "(adjudicate by hand)"
-                )
-            else:
+                pre_rows = con.execute(substitute_round(sql)).fetchall()
+            except Exception:
+                pre_rows = None
+            if pre_rows is not None:
                 if len(pre_rows) != len(rows):
-                    # ROUND feeds a predicate: the substitution changed
-                    # the row set, so per-cell differencing is
-                    # meaningless AND the query has a rounding-rule
-                    # cliff inside a filter — its own hazard class
-                    lines.append(
-                        "  [E pre-round distance] ROUND feeds a "
-                        "predicate (row set changed under substitution "
-                        "— adjudicate the threshold by hand)"
+                    note = (
+                        "  [E pre-round distance] ROUND feeds a string-"
+                        "comparable predicate — row set shifted, distances "
+                        "cover the surviving rows only"
                     )
-                    pre_rows = []
-                # distance candidates = CELLS present in the substituted
-                # run but absent (per-column multiset difference) from
-                # the raw run — raw float cells that merely live in
-                # [0, 0.5] (ratios, deviations, literals) cancel out
-                from collections import Counter
+                for r in pre_rows:
+                    for v in r:
+                        if isinstance(v, str) and v.startswith("PRD:"):
+                            try:
+                                d = float(v[4:])
+                            except ValueError:
+                                continue
+                            if worst is None or d < worst:
+                                worst = d
+            if worst is None:
+                # pass 2 — numeric fallback where the VARCHAR tag cannot
+                # bind (ROUND feeds arithmetic/predicate/cast): same
+                # distance as a DOUBLE, identified by per-column multiset
+                # difference vs the raw run. Conservative: a distance
+                # colliding with a raw cell value is swallowed.
+                precise = False
+                try:
+                    num_rows = con.execute(
+                        substitute_round(sql, macro="__pre_round_dist_num")
+                    ).fetchall()
+                except Exception:
+                    num_rows = None
+                if num_rows is not None and rows and (
+                    len(num_rows) == len(rows)
+                ):
+                    from collections import Counter
 
-                worst = None
-                for i in range(len(pre_cols)):
-                    raw_left = Counter(repr(r[i]) for r in rows)
-                    for r in pre_rows:
-                        v = r[i]
-                        key = repr(v)
-                        if raw_left[key] > 0:
-                            raw_left[key] -= 1  # unchanged cell
-                            continue
-                        if (
-                            isinstance(v, float)
-                            and math.isfinite(v)
-                            and 0.0 <= v <= 0.5
-                        ):
-                            if worst is None or v < worst:
-                                worst = v
-                if worst is not None:
-                    tag = "ON-HALF" if worst < 1e-8 else "ok"
-                    if worst < 1e-8:
-                        n_near += 1
-                    lines.append(
-                        f"  [E pre-round distance] min dist-to-half = "
-                        f"{worst:.3e} -> {tag}"
+                    ncols = len(rows[0])
+                    for i in range(ncols):
+                        raw_left = Counter(repr(r[i]) for r in rows)
+                        for r in num_rows:
+                            v = r[i]
+                            if raw_left[repr(v)] > 0:
+                                raw_left[repr(v)] -= 1
+                                continue
+                            if (
+                                isinstance(v, float)
+                                and math.isfinite(v)
+                                and 0.0 <= v <= 0.5
+                            ):
+                                if worst is None or v < worst:
+                                    worst = v
+                elif num_rows is None:
+                    note = (
+                        "  [E pre-round distance] substitution inapplicable "
+                        "in both passes (ROUND feeds a context neither "
+                        "macro binds) — adjudicate by hand"
                     )
-                elif pre_rows:
-                    lines.append(
-                        "  [E pre-round distance] no float distance "
-                        "surfaced (ROUND feeds an integer/cast context — "
-                        "adjudicate by hand)"
+                else:
+                    note = (
+                        "  [E pre-round distance] numeric fallback row set "
+                        "shifted (ROUND feeds a predicate) — adjudicate "
+                        "the threshold by hand"
                     )
+            if note:
+                lines.append(note)
+            if worst is not None:
+                tag = "ON-HALF" if worst < 1e-8 else "ok"
+                if worst < 1e-8:
+                    n_near += 1
+                kind = "precise" if precise else "fallback-conservative"
+                lines.append(
+                    f"  [E pre-round distance] min dist-to-half = "
+                    f"{worst:.3e} ({kind}) -> {tag}"
+                )
+            elif note is None:
+                lines.append(
+                    "  [E pre-round distance] no distance surfaced "
+                    "(rounded value consumed before the output — "
+                    "adjudicate by hand)"
+                )
 
         status = "CLEAN" if not lines else "REVIEW"
         print(f"{name:40s} {status}")

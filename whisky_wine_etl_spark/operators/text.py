@@ -39,13 +39,13 @@ def token_count(col: Column | str) -> Column:
 
 
 def _pin4(col: Column) -> Column:
-    """floor(x·1e4 + 0.5)/1e4 — the shared pinned-rounding discipline
-    (r8 oracle-fragility audit rule 3) at 4 dp. Token/stopword ratios
-    are small-denominator rationals that land EXACTLY on 4-dp halves
-    (e.g. p/32 → x.xxx5), where Spark HALF_UP and DuckDB's rounding
-    have split across versions; this is the same three IEEE ops on
-    both engines, so identical inputs stay identical."""
-    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    """Pinned rounding at 4 dp (functions/rounding.pinned): token and
+    stopword ratios are small-denominator rationals that land EXACTLY
+    on 4-dp halves (e.g. p/32 → x.xxx5), where Spark HALF_UP and
+    DuckDB's rounding have split across versions."""
+    from whisky_wine_etl_spark.functions.rounding import pinned
+
+    return pinned(col, 4)
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

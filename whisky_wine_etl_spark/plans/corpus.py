@@ -291,8 +291,10 @@ dtot AS (SELECT domain, SUM(c_dt) AS n_d FROM dt GROUP BY 1),
 tt AS (SELECT term, SUM(c_dt) AS c_t FROM dt GROUP BY 1),
 na AS (SELECT SUM(c_dt) AS n_all FROM dt)
 SELECT domain,
-       ROUND((SUM(ABS(c_dt * 1.0 / n_d - c_t * 1.0 / n_all))
-              + (1.0 - SUM(c_t * 1.0 / n_all))) / 2, 6) AS tv_distance
+       ROUND((SUM(ABS(CAST(c_dt AS DOUBLE) / n_d
+                      - CAST(c_t AS DOUBLE) / n_all))
+              + (1.0 - SUM(CAST(c_t AS DOUBLE) / n_all))) / 2, 6)
+         AS tv_distance
 FROM dt JOIN tt USING (term) JOIN dtot USING (domain) CROSS JOIN na
 GROUP BY domain
 """,

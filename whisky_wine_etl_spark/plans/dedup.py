@@ -26,7 +26,7 @@ sh AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 jac AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(COUNT(*) * 1.0 / (sa.n_sh + sb.n_sh - COUNT(*)), 6) AS jaccard
+         ROUND(CAST(COUNT(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - COUNT(*)), 6) AS jaccard
   FROM sh a
   JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   JOIN sizes sa ON sa.doc_id = a.doc_id

@@ -183,7 +183,7 @@ df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
   FROM tf JOIN df USING (term) CROSS JOIN n
 ),
 ranked AS (

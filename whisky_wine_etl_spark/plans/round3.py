@@ -170,11 +170,11 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+       ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.8
 """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,7 +1202,7 @@ edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 nn AS (SELECT COUNT(*) AS cnt FROM nodes),
 deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
-r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS r FROM nodes),
 c1 AS (SELECT e.dst AS node, SUM(r0.r / deg.d) AS c
        FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.node = e.src
        GROUP BY e.dst),

@@ -106,7 +106,7 @@ WITH {_CAPPED_SHINGLES.format(cap=_SHINGLE_CAP)},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 jac AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(COUNT(*) * 1.0 / (sa.n_sh + sb.n_sh - COUNT(*)), 6) AS jaccard
+         ROUND(CAST(COUNT(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - COUNT(*)), 6) AS jaccard
   FROM sh a
   JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   JOIN sizes sa ON sa.doc_id = a.doc_id
@@ -137,11 +137,11 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+       ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.8
 """,
 )
 def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,7 +418,7 @@ inter AS (
 ),
 scored AS (
   SELECT iid, cid,
-         ROUND(n_common * 1.0 / (si.ni + sc.nc - n_common), 6) AS jaccard
+         ROUND(CAST(n_common AS DOUBLE) / (si.ni + sc.nc - n_common), 6) AS jaccard
   FROM inter JOIN si USING (iid) JOIN sc USING (cid)
 ),
 best AS (

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.functions.rounding import pinned
 from whisky_wine_etl_spark.plans.registry import query
 
 
@@ -64,18 +65,10 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),
             F.sum("dur_us").cast("bigint").alias("span_us"),
-            (
-                F.floor(
-                    F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")
-                    * F.lit(1000000.0)
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
+            pinned(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
             ).alias("twa_value"),
-            (
-                F.floor(F.avg("value") * F.lit(1000000.0) + F.lit(0.5))
-                / F.lit(1000000.0)
-            ).alias("naive_avg"),
+            pinned(F.avg("value"), 6).alias("naive_avg"),
         )
         .orderBy("user_id")
     )

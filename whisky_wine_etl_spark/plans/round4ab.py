@@ -179,7 +179,7 @@ ret AS (
 ),
 pooled AS (SELECT CAST(SUM(n0) AS BIGINT) AS pool FROM cohort_n),
 pts AS (
-  SELECT CAST(ret.k AS DOUBLE) AS x, LN(ret.returned * 1.0 / pooled.pool) AS y,
+  SELECT CAST(ret.k AS DOUBLE) AS x, LN(CAST(ret.returned AS DOUBLE) / pooled.pool) AS y,
          ret.k AS k, ret.returned, pooled.pool
   FROM ret, pooled
 ),

@@ -52,7 +52,7 @@ mau AS (
   FROM mau_pairs m JOIN grid g ON g.d = m.d GROUP BY g.d
 )
 SELECT dau.d, dau.dau, wau.wau, mau.mau,
-       ROUND(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
 FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
 ORDER BY dau.d
 """,

@@ -40,7 +40,7 @@ eval_pairs AS (SELECT prev, nxt FROM p WHERE bucket >= 8)
 SELECT e.prev,
        CAST(COUNT(*) AS BIGINT) AS n_eval,
        CAST(COUNT(*) FILTER (WHERE e.nxt = pr.predicted) AS BIGINT) AS n_correct,
-       ROUND(COUNT(*) FILTER (WHERE e.nxt = pr.predicted) * 1.0 / COUNT(*), 6)
+       ROUND(CAST(COUNT(*) FILTER (WHERE e.nxt = pr.predicted) AS DOUBLE) / COUNT(*), 6)
          AS accuracy,
        MIN(pr.predicted) AS predicted
 FROM eval_pairs e JOIN pred pr ON pr.prev = e.prev

@@ -62,7 +62,7 @@ SELECT o.lang,
        CAST(COUNT(*) AS BIGINT) AS n_word_instances,
        CAST(SUM(length(o.word)) AS BIGINT) AS n_chars,
        CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
-       ROUND(SUM(length(o.word)) * 1.0 / SUM(e.n_tok), 6) AS chars_per_token
+       ROUND(CAST(SUM(length(o.word)) AS DOUBLE) / SUM(e.n_tok), 6) AS chars_per_token
 FROM occ o JOIN enc e ON e.word = o.word
 GROUP BY o.lang ORDER BY o.lang
 """,

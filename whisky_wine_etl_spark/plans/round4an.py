@@ -172,7 +172,7 @@ pw AS (
   FROM phr, unnest(regexp_split_to_array(phrase, ' +')) AS t(w)
 ),
 ws AS (
-  SELECT w, SUM(plen) * 1.0 / COUNT(*) AS score FROM pw GROUP BY w
+  SELECT w, CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS score FROM pw GROUP BY w
 ),
 dphr AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM phr GROUP BY phrase),
 pscore AS (

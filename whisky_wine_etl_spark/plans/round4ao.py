@@ -78,8 +78,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
          AS n_kept,
        CAST(COALESCE(SUM(n_chars) FILTER (WHERE n_chars BETWEEN 200 AND 5000), 0)
             AS BIGINT) AS chars_kept,
-       ROUND(COUNT(*) FILTER (WHERE n_chars BETWEEN 200 AND 5000)
-             * 1.0 / COUNT(*), 6) AS kept_share
+       ROUND(CAST(COUNT(*) FILTER (WHERE n_chars BETWEEN 200 AND 5000)
+                  AS DOUBLE) / COUNT(*), 6) AS kept_share
 FROM documents
 """,
 )

@@ -163,7 +163,7 @@ t AS (
   FROM c
 )
 SELECT c.lang, c.n_docs,
-       ROUND(c.n_docs * 1.0 / t.total, 6) AS p_raw,
+       ROUND(CAST(c.n_docs AS DOUBLE) / t.total, 6) AS p_raw,
        ROUND(POWER(c.n_docs, 0.3) / t.z, 6) AS p_temp,
        ROUND(POWER(c.n_docs, 0.3) / t.z * t.total / c.n_docs, 4)
          AS sample_factor

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.functions.rounding import pinned
 from whisky_wine_etl_spark.plans.registry import query
 
 
@@ -159,10 +160,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ch.groupBy("doc_id").agg(
         F.count("chunk").cast("bigint").alias("n_chunks"),
         F.max(F.length("chunk")).cast("bigint").alias("max_chunk_len"),
-        (
-            F.floor(F.avg(F.length("chunk")) * F.lit(1000.0) + F.lit(0.5))
-            / F.lit(1000.0)
-        ).alias("mean_chunk_len"),
+        pinned(F.avg(F.length("chunk")), 3).alias("mean_chunk_len"),
     )
     return (
         docs.select("doc_id")

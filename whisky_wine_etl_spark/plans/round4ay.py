@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.functions.rounding import pinned
 from whisky_wine_etl_spark.plans.registry import query
 
 _ALPHA, _BETA = 0.5, 0.3
@@ -92,12 +93,7 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     s0 = (
         e.groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(
-            (
-                F.floor(F.sum("value") * F.lit(1000000.0) + F.lit(0.5))
-                / F.lit(1000000.0)
-            ).alias("v")
-        )
+        .agg(pinned(F.sum("value"), 6).alias("v"))
     )
     w = Window.partitionBy("user_id").orderBy("day")
     s = (

@@ -62,11 +62,13 @@ lm AS (
 sig AS (
   SELECT tk.doc_id,
          ROUND(CASE WHEN len(toks) > 0
-                    THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                               / len(toks)
                     ELSE 0.0 END, 6) AS dup_token_frac,
-         ROUND(COALESCE(bm.best * 1.0 / bm.total, 0.0), 6) AS top_bigram_frac,
+         ROUND(COALESCE(CAST(bm.best AS DOUBLE) / bm.total, 0.0), 6)
+           AS top_bigram_frac,
          ROUND(CASE WHEN lm.n_lines > 0
-                    THEN 1.0 - lm.n_uniq_lines * 1.0 / lm.n_lines
+                    THEN 1.0 - CAST(lm.n_uniq_lines AS DOUBLE) / lm.n_lines
                     ELSE 0.0 END, 6) AS dup_line_frac
   FROM tk
   LEFT JOIN bm ON bm.doc_id = tk.doc_id
@@ -110,7 +112,7 @@ t AS (
   FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
 )
 SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
-       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
 FROM t
 """,
 )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.functions.rounding import pinned
 from whisky_wine_etl_spark.plans.registry import query
 
 
@@ -524,9 +525,10 @@ pr AS (
 ),
 r AS (
   SELECT pr.antecedent, pr.consequent, CAST(pr.n_both AS BIGINT) AS n_both,
-         ROUND(pr.n_both * 1.0 / n.n_orders, 6) AS support,
-         ROUND(pr.n_both * 1.0 / ia.n_item, 6) AS confidence,
-         ROUND(pr.n_both * 1.0 * n.n_orders / (ia.n_item * ib.n_item), 6) AS lift
+         ROUND(CAST(pr.n_both AS DOUBLE) / n.n_orders, 6) AS support,
+         ROUND(CAST(pr.n_both AS DOUBLE) / ia.n_item, 6) AS confidence,
+         ROUND(CAST(pr.n_both AS DOUBLE) * n.n_orders
+               / (ia.n_item * ib.n_item), 6) AS lift
   FROM pr
   JOIN ic ia ON ia.l_partkey = pr.antecedent
   JOIN ic ib ON ib.l_partkey = pr.consequent
@@ -619,8 +621,8 @@ WITH d AS (
 c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
 t AS (SELECT SUM(n) AS total FROM c)
 SELECT digit, CAST(n AS BIGINT) AS n,
-       ROUND(n * 1.0 / t.total, 6) AS obs_frac,
-       ROUND(log10(1 + 1.0 / digit), 6) AS benford_frac
+       ROUND(CAST(n AS DOUBLE) / t.total, 6) AS obs_frac,
+       ROUND(log10(1 + CAST(1.0 AS DOUBLE) / digit), 6) AS benford_frac
 FROM c CROSS JOIN t
 """,
 )
@@ -956,17 +958,11 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         F.col("n_syll").cast("long").alias("n_syllables"),
-        (
-            F.floor(
-                (
-                    F.lit(206.835)
-                    - 1.015 * (F.col("n_words") / F.col("n_sent"))
-                    - 84.6 * (F.col("n_syll") / F.col("n_words"))
-                )
-                * F.lit(10000.0)
-                + F.lit(0.5)
-            )
-            / F.lit(10000.0)
+        pinned(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") / F.col("n_sent"))
+            - 84.6 * (F.col("n_syll") / F.col("n_words")),
+            4,
         ).alias("flesch"),
     )
 
@@ -991,8 +987,10 @@ c AS (SELECT slice, bucket, COUNT(*) AS n FROM sliced GROUP BY 1, 2),
 t AS (SELECT slice, SUM(n) AS tot FROM c GROUP BY slice),
 f AS (
   SELECT c.bucket,
-         SUM(CASE WHEN c.slice = 'base' THEN c.n * 1.0 / t.tot END) AS p,
-         SUM(CASE WHEN c.slice = 'current' THEN c.n * 1.0 / t.tot END) AS q
+         SUM(CASE WHEN c.slice = 'base'
+                  THEN CAST(c.n AS DOUBLE) / t.tot END) AS p,
+         SUM(CASE WHEN c.slice = 'current'
+                  THEN CAST(c.n AS DOUBLE) / t.tot END) AS q
   FROM c JOIN t USING (slice) GROUP BY c.bucket
 )
 SELECT bucket, ROUND(p, 6) AS p_base, ROUND(q, 6) AS q_current,

@@ -214,7 +214,7 @@ rk AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        ROUND(SUM(rev), 2) AS total_revenue,
        ROUND(2.0 * SUM(i * rev) / (COUNT(*) * SUM(rev))
-             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+             - (CAST(COUNT(*) AS DOUBLE) + 1.0) / COUNT(*), 6) AS gini
 FROM rk
 """,
 )

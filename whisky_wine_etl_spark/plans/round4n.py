@@ -48,7 +48,7 @@ n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 kept AS (
   SELECT tf.doc_id, tf.term,
-         tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df) AS w
+         tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) AS w
   FROM tf JOIN df USING (term)
   WHERE df.df * 5 <= (SELECT n_docs FROM n)
 ),
@@ -431,7 +431,7 @@ v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vocab
       FROM tok WHERE term <> ''),
 cls AS (
   SELECT d.lang AS cls,
-         ln(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents)) AS prior,
+         ln(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents)) AS prior,
          (SELECT ln(SUM(ctc) + (SELECT vocab FROM v)) FROM ct
           WHERE ct.cls = d.lang) AS denom
   FROM documents d GROUP BY d.lang

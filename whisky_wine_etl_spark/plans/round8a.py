@@ -129,9 +129,7 @@ def stream_sink_exactly_once_chaos(spark: SparkSession, sf_dir: str) -> DataFram
             w.abort([doomed])
 
         chk = _tmpdir(spark, sf_dir, "mjchaos_chk")
-        import shutil as _sh
-
-        _sh.rmtree(chk, ignore_errors=True)  # fresh stream, fresh offsets
+        shutil.rmtree(chk, ignore_errors=True)  # fresh stream, fresh offsets
         q = (
             stream.writeStream.foreachBatch(handle)
             .trigger(availableNow=True)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.functions.rounding import pinned
 from whisky_wine_etl_spark.plans.registry import query
 
 
@@ -197,13 +198,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            (
-                F.floor(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                    * F.lit(100.0)
-                    + F.lit(0.5)
-                )
-                / F.lit(100.0)
+            pinned(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
         .localCheckpoint(eager=True)
