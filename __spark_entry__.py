@@ -56,6 +56,52 @@ def _verified_names() -> set[str]:
     return green
 
 
+# Verified queries whose Spark code or oracle changed AFTER their last
+# green CORRECTNESS row — hand-maintained at each change; validated by
+# tests/test_entry_ordering.py. Remove names once a NEW green row lands.
+_RECHECK_FIRST: frozenset[str] = frozenset({
+    # pinned-rounding (on-half) migrations
+    "text_token_stats",
+    "text_quality_score",
+    "text_readability_flesch",
+    "text_cdc_chunks",
+    "ts_time_weighted_avg",
+    # ts_holt_linear is NOT here: it is still in the r8 slate, which
+    # verifies its migrated code this round (recheck is only for names
+    # whose green row predates a change)
+    "q15_top_supplier",
+    # DECIMAL-arithmetic elimination (the diag-red class): every
+    # integer-context `x * 1.0 /` and `COUNT(*) + 1.0` bridge
+    # rewritten to CAST(x AS DOUBLE) on the oracle side
+    "assoc_rules_lift",
+    "corpus_bpe_apply",
+    "corpus_mixture_temperature",
+    "corpus_source_drift",
+    "dedup_canonical_summary",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_containment",
+    "dedup_containment_capped",
+    "dedup_incremental_neardup",
+    "dedup_ngram_capped",
+    "dedup_ngram_jaccard",
+    "diag_observe_ingest",
+    "events_dau_wau_mau",
+    "events_markov_transitions",
+    "events_retention_decay_fit",
+    "graph_pagerank_copurchase",
+    "ml_markov_next_event_eval",
+    "ml_naive_bayes_lang",
+    "sim_sparse_cosine_join",
+    "stat_benford_digits",
+    "stat_gini_revenue",
+    "stat_psi_value_drift",
+    "text_keyword_rake",
+    "text_repetition_signals",
+    "text_tfidf_top_terms",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -64,55 +110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries with no green CORRECTNESS row yet before ones already
     verified in an earlier round, and — within the already-verified
     tail — queries whose code changed SINCE their green row before
-    untouched ones (the _RECHECK_FIRST list), so the driver's spare
+    untouched ones (_RECHECK_FIRST), so the driver's spare
     slots re-verify exactly what moved. Ties keep registration
     order."""
     green = _verified_names()
     names = list(plans.QUERIES)
-    # Verified queries whose Spark code or oracle changed after their
-    # last green CORRECTNESS row — maintained by hand at each change.
-    # r8 extension (2026-08-16): the 7 on-half pinned-rounding
-    # migrations (tools/logs/r8_oracle_fragility_audit.md, r8-EXTENSION
-    # section). Remove names once a NEW green row lands.
-    recheck = {
-        # pinned-rounding (on-half) migrations
-        "text_token_stats",
-        "text_quality_score",
-        "text_readability_flesch",
-        "text_cdc_chunks",
-        "ts_time_weighted_avg",
-        "ts_holt_linear",
-        "q15_top_supplier",
-        # DECIMAL-arithmetic elimination (the diag-red class): every
-        # integer-context `x * 1.0 /` and `COUNT(*) + 1.0` bridge
-        # rewritten to CAST(x AS DOUBLE) on the oracle side
-        "assoc_rules_lift",
-        "corpus_bpe_apply",
-        "corpus_mixture_temperature",
-        "corpus_source_drift",
-        "dedup_canonical_summary",
-        "dedup_clusters",
-        "dedup_clusters_star",
-        "dedup_containment",
-        "dedup_containment_capped",
-        "dedup_incremental_neardup",
-        "dedup_ngram_capped",
-        "dedup_ngram_jaccard",
-        "diag_observe_ingest",
-        "events_dau_wau_mau",
-        "events_markov_transitions",
-        "events_retention_decay_fit",
-        "graph_pagerank_copurchase",
-        "ml_markov_next_event_eval",
-        "ml_naive_bayes_lang",
-        "sim_sparse_cosine_join",
-        "stat_benford_digits",
-        "stat_gini_revenue",
-        "stat_psi_value_drift",
-        "text_keyword_rake",
-        "text_repetition_signals",
-        "text_tfidf_top_terms",
-    }
+    recheck = _RECHECK_FIRST
     # Stable sort: ties keep registration order without an index key.
     # The recheck tier applies ONLY inside the verified block — an
     # unverified name is already in the slate's front block, and

@@ -40,20 +40,22 @@ def test_unverified_block_order_is_slate_stable():
 
 
 def test_recheck_names_are_live_verified_oracled():
+    """Validate the hand-maintained _RECHECK_FIRST constant DIRECTLY —
+    a typo'd name would otherwise silently never earn a re-verify slot
+    (it would not appear in queries() output at all)."""
     mod = _entry()
     green = mod._verified_names()
+    stale = mod._RECHECK_FIRST - set(mod.plans.QUERIES)
+    assert not stale, f"stale/typo'd recheck names: {sorted(stale)}"
+    no_oracle = mod._RECHECK_FIRST - set(mod.plans.ORACLES)
+    assert not no_oracle, f"recheck names without oracles: {sorted(no_oracle)}"
+    unverified = mod._RECHECK_FIRST - green
+    assert not unverified, (
+        f"unverified names {sorted(unverified)} belong in the slate's "
+        "front block, not the recheck tier"
+    )
+    # and the tier actually occupies the head of the verified tail
     names = list(mod.queries())
     n_unver = sum(1 for n in names if n not in green)
-    # reconstruct the tier from the ordering: verified names that sort
-    # before the first wine_* of the verified tail
-    tail = names[n_unver:]
-    tier = []
-    for n in tail:
-        if n.startswith("wine_"):
-            break
-        tier.append(n)
-    # an empty tier is legal (every recheck name re-verified + removed)
-    for n in tier:
-        assert n in mod.plans.QUERIES, f"stale recheck name {n}"
-        assert n in green, f"unverified name {n} belongs in the slate, not recheck"
-        assert n in mod.plans.ORACLES, f"recheck name {n} has no oracle"
+    tier_slots = names[n_unver : n_unver + len(mod._RECHECK_FIRST)]
+    assert set(tier_slots) == set(mod._RECHECK_FIRST)

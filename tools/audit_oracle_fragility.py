@@ -65,7 +65,6 @@ DEC_LIT = re.compile(r"(?<![\w.])(\d+\.\d+|\.\d+)(?![\w.])")
 CAST_DOUBLE = re.compile(r"CAST\s*\(\s*(\d+\.\d+|\.\d+)\s+AS\s+DOUBLE\s*\)", re.I)
 QUANTILE = re.compile(r"\bquantile_(disc|cont)\b", re.I)
 ROUND_RE = re.compile(r"\bROUND\s*\(", re.I)
-FLOOR_PIN = re.compile(r"FLOOR\s*\([^()]*\*\s*10{2,6}(\.0)?\s*\+", re.I)
 
 
 def decimal_literal_hits(sql: str) -> list[str]:
@@ -91,24 +90,6 @@ def decimal_literal_hits(sql: str) -> list[str]:
 # false-flag. A ROUND feeding arithmetic or a numeric predicate now
 # fails to bind (VARCHAR where DOUBLE expected) → reported
 # "substitution inapplicable", the honest outcome for by-hand cases.
-PRE_ROUND_DIST_MACRO = """
-CREATE OR REPLACE MACRO __pre_round_dist(x, n) AS
-  CASE
-    WHEN x IS NULL THEN CAST(NULL AS VARCHAR)
-    WHEN NOT isfinite(CAST(x AS DOUBLE)) THEN 'PRD:0.5'
-    WHEN abs(CAST(x AS DOUBLE)) * pow(10, n) > 4.5e15 THEN 'PRD:0.5'
-    ELSE 'PRD:' || CAST(
-      abs(abs(CAST(x AS DOUBLE)) * pow(10, n)
-          - floor(abs(CAST(x AS DOUBLE)) * pow(10, n)) - 0.5) AS VARCHAR)
-  END
-"""
-
-# Numeric fallback macro for oracles whose ROUND feeds arithmetic /
-# numeric predicates / casts (where the VARCHAR tag cannot bind). Same
-# distance, as a DOUBLE — scanned with per-column multiset differencing
-# against the raw run, which is conservative: a distance colliding with
-# a raw cell value is swallowed, so the fallback can under-report,
-# never over-report. The precise string pass runs first.
 PRE_ROUND_DIST_MACRO_NUM = """
 CREATE OR REPLACE MACRO __pre_round_dist_num(x, n) AS
   CASE
@@ -120,60 +101,77 @@ CREATE OR REPLACE MACRO __pre_round_dist_num(x, n) AS
   END
 """
 
+# String-tagged wrapper over the SAME numeric distance (one source of
+# truth — the two passes cannot drift apart). NULL propagates through
+# the concatenation as NULL.
+PRE_ROUND_DIST_MACRO = """
+CREATE OR REPLACE MACRO __pre_round_dist(x, n) AS
+  'PRD:' || CAST(__pre_round_dist_num(x, n) AS VARCHAR)
+"""
 
-def _first_round_outside_strings(sql: str, pat: re.Pattern) -> re.Match | None:
-    """First ROUND( match whose start is not inside a '...' literal."""
-    in_str = False
-    spans: list[tuple[int, int]] = []  # string-literal spans
-    start = 0
-    i = 0
-    while i < len(sql):
+
+def masked_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of SQL text that are NOT code: '...'-string literals
+    (with '' escapes) and -- comments (when not inside a string).
+    Single source of truth for every scanner in this module — the
+    ROUND search, the paren/comma walk, and has_round all use it, so
+    they can never disagree about what is inside a literal."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
         c = sql[i]
-        if in_str:
-            if c == "'":
-                if i + 1 < len(sql) and sql[i + 1] == "'":
-                    i += 1  # doubled '' escape stays inside
-                else:
-                    in_str = False
-                    spans.append((start, i))
-        elif c == "'":
-            in_str = True
+        if c == "'":
             start = i
-        i += 1
-    if in_str:
-        spans.append((start, len(sql)))
-    for m in pat.finditer(sql):
-        if not any(a <= m.start() < b for a, b in spans):
-            return m
-    return None
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            spans.append((start, min(i + 1, n)))
+            i += 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            start = i
+            while i < n and sql[i] != "\n":
+                i += 1
+            spans.append((start, i))
+        else:
+            i += 1
+    return spans
+
+
+def _in_spans(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(a <= pos < b for a, b in spans)
+
+
+def _round_sites(sql: str) -> list[re.Match]:
+    spans = masked_spans(sql)
+    return [m for m in ROUND_RE.finditer(sql) if not _in_spans(m.start(), spans)]
 
 
 def substitute_round(sql: str, macro: str = "__pre_round_dist") -> str:
-    """Rewrite every ROUND(...) call to __pre_round_dist(...), arity-
-    aware: 1-arg ROUND(x) (integer rounding) becomes
-    __pre_round_dist(x, 0). Nested ROUNDs resolve by re-scanning until
-    none remain (the replacement token contains no 'ROUND'). The
-    scanner is string-literal-aware on both the ROUND search and the
-    paren/comma walk, so quoted '(' ')' ',' (regex patterns, CSV-ish
-    constants) cannot miscount depth. Strip -- comments before calling
-    (main() does) so commented-out ROUNDs are not rewritten."""
-    pat = re.compile(r"\bROUND\s*\(", re.I)
+    """Rewrite every code-position ROUND(...) call to macro(...),
+    arity-aware: 1-arg ROUND(x) (integer rounding) becomes macro(x, 0).
+    Nested ROUNDs resolve by re-scanning until none remain (the
+    replacement token contains no 'ROUND'). Operates on RAW SQL: the
+    shared masked_spans scanner skips string literals AND -- comments,
+    so quoted '(' ')' ',' never miscount depth and commented-out
+    ROUNDs are never rewritten — no lossy comment-stripping needed."""
     while True:
-        m = _first_round_outside_strings(sql, pat)
-        if m is None:
+        sites = _round_sites(sql)
+        if not sites:
             return sql
-        i, depth, comma_at_depth1, in_str = m.end(), 1, False, False
+        m = sites[0]
+        spans = masked_spans(sql)
+        i, depth, comma_at_depth1 = m.end(), 1, False
         while i < len(sql) and depth:
+            if _in_spans(i, spans):
+                i += 1
+                continue
             c = sql[i]
-            if in_str:
-                if c == "'":
-                    if i + 1 < len(sql) and sql[i + 1] == "'":
-                        i += 1
-                    else:
-                        in_str = False
-            elif c == "'":
-                in_str = True
-            elif c == "(":
+            if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
@@ -193,8 +191,8 @@ def main() -> None:
         sys.argv[2].split(",") if len(sys.argv) > 2 else sorted(plans.ORACLES)
     )
     con = duckdb_connection(sf_dir)
-    con.execute(PRE_ROUND_DIST_MACRO)
     con.execute(PRE_ROUND_DIST_MACRO_NUM)
+    con.execute(PRE_ROUND_DIST_MACRO)
 
     n_dec = n_q = n_round = n_decout = n_near = 0
     for name in names:
@@ -214,10 +212,11 @@ def main() -> None:
         if QUANTILE.search(sql):
             n_q += 1
             lines.append("  [B quantile builtin] quantile_disc/cont present")
-        has_round = bool(ROUND_RE.search(sql))
-        if has_round and not FLOOR_PIN.search(sql):
+        round_sites = _round_sites(raw)
+        has_round = bool(round_sites)
+        if has_round:
             n_round += 1
-            lines.append(f"  [C bare-ROUND] {len(ROUND_RE.findall(sql))} site(s)")
+            lines.append(f"  [C bare-ROUND] {len(round_sites)} site(s)")
 
         # empirical probes (run the RAW sql — stripping would corrupt a
         # hypothetical '--' inside a string literal)
@@ -238,7 +237,7 @@ def main() -> None:
             note = None
             # pass 1 — precise string-tagged distances (collision-proof)
             try:
-                pre_rows = con.execute(substitute_round(sql)).fetchall()
+                pre_rows = con.execute(substitute_round(raw)).fetchall()
             except Exception:
                 pre_rows = None
             if pre_rows is not None:
@@ -266,16 +265,18 @@ def main() -> None:
                 precise = False
                 try:
                     num_rows = con.execute(
-                        substitute_round(sql, macro="__pre_round_dist_num")
+                        substitute_round(raw, macro="__pre_round_dist_num")
                     ).fetchall()
                 except Exception:
                     num_rows = None
-                if num_rows is not None and rows and (
-                    len(num_rows) == len(rows)
+                if (
+                    num_rows is not None
+                    and len(num_rows) == len(rows)
+                    and num_rows
                 ):
                     from collections import Counter
 
-                    ncols = len(rows[0])
+                    ncols = len(num_rows[0])
                     for i in range(ncols):
                         raw_left = Counter(repr(r[i]) for r in rows)
                         for r in num_rows:
@@ -291,12 +292,20 @@ def main() -> None:
                                 if worst is None or v < worst:
                                     worst = v
                 elif num_rows is None:
-                    note = (
-                        "  [E pre-round distance] substitution inapplicable "
-                        "in both passes (ROUND feeds a context neither "
-                        "macro binds) — adjudicate by hand"
-                    )
-                else:
+                    if pre_rows is None:
+                        note = (
+                            "  [E pre-round distance] substitution "
+                            "inapplicable in both passes (ROUND feeds a "
+                            "context neither macro binds) — adjudicate "
+                            "by hand"
+                        )
+                    elif note is None:
+                        note = (
+                            "  [E pre-round distance] no tagged distance "
+                            "surfaced and the numeric fallback does not "
+                            "bind — adjudicate by hand"
+                        )
+                elif note is None and len(num_rows) != len(rows):
                     note = (
                         "  [E pre-round distance] numeric fallback row set "
                         "shifted (ROUND feeds a predicate) — adjudicate "
