@@ -186,6 +186,11 @@ HEADLINE = [
     # the three format writes).
     "stream_sink_exactly_once_chaos", # manifest sink exactly-once under retry debris
     "source_format_fidelity_matrix",  # parquet/orc/csv type-fidelity matrix
+    # round-9 additions (same pre-flight: sf0.1 oracle-green + timed —
+    # ~1.0 s and ~3.7 s warm; the stream join pays the same
+    # per-micro-batch state-store commit floor as its left-outer twin).
+    "join_salted_skew",               # salt-and-replicate skew join (exact)
+    "stream_full_outer_attribution",  # two-sided watermark eviction join
 ]
 
 
@@ -291,7 +296,21 @@ def main() -> int:
             n_round = (max(rounds) + 1) if rounds else 0
         local = dict(payload)
         local["samples"] = {k: [round(x, 3) for x in v] for k, v in samples.items()}
-        with open(os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json"), "w") as f:
+        # Preserve envelope fields from an existing artifact (VERDICT
+        # r8 item 5): the driver benches the PREVIOUS round's tree into
+        # NEXT round's filename, so a plain overwrite would destroy
+        # that cross-box datapoint. Any key prefixed envelope_/
+        # driver_run_/note carried in the old file survives the rewrite.
+        out_path = os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json")
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            for k, v in prior.items():
+                if k.startswith(("envelope", "driver_run", "note")) and k not in local:
+                    local[k] = v
+        except (OSError, ValueError):
+            pass
+        with open(out_path, "w") as f:
             json.dump(local, f, indent=1, sort_keys=True)
     except OSError:
         pass  # a read-only checkout still gets the stdout contract

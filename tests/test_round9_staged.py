@@ -33,11 +33,11 @@ def con():
     return duckdb_connection(SF)
 
 
-def test_staged_not_registered():
-    """Round-8 invariant: the registry stays at its slate-verified
-    size; the staged names must not leak in via any import path."""
-    assert set(round9a.STAGED) & set(plans.QUERIES) == set()
-    assert set(round9a.STAGED) & set(plans.ORACLES) == set()
+def test_staged_now_registered():
+    """Round-9 flip: load_all() calls round9a.register(), so both
+    names are live registry entries with exact oracles."""
+    assert set(round9a.STAGED) <= set(plans.QUERIES)
+    assert set(round9a.STAGED) <= set(plans.ORACLES)
 
 
 @pytest.mark.parametrize("name", sorted(round9a.STAGED))
@@ -98,8 +98,15 @@ def test_salting_flattens_hot_key_placement(spark):
         .count()
     )
     assert plain.count() == 1  # the straggler: one reducer owns it all
+    # Deterministic salt (ADVICE r8): F.rand(seed)'s realized values
+    # depend on the scan's split layout / partition indices, so
+    # asserting distribution properties on it can flake across Spark
+    # versions or parallelism. Hashing a distinct-per-row id spreads
+    # identically for placement purposes and is layout-robust.
     salted = (
-        hot.withColumn("s", (F.rand(seed=42) * 8).cast("int"))
+        hot.withColumn(
+            "s", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8))
+        )
         .repartition(n_parts, "k", "s")
         .withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
@@ -319,20 +326,13 @@ def test_salted_join_property(spark):
 
 
 def test_register_flip_is_idempotent():
-    """round 9 calls register() once from load_all; a second call (or
-    a test importing after the flip) must be a no-op, not a duplicate-
-    name ValueError."""
+    """load_all() calls register() on every invocation (module imports
+    are cached but the call is not); re-running it — or any test
+    importing after the flip — must be a no-op, not a duplicate-name
+    ValueError or a re-registration that changes registry size."""
     before_q = dict(plans.QUERIES)
     before_o = dict(plans.ORACLES)
-    try:
-        round9a.register()
-        assert set(round9a.STAGED) <= set(plans.QUERIES)
-        assert set(round9a.STAGED) <= set(plans.ORACLES)
-        round9a.register()  # idempotent
-        assert len(plans.QUERIES) == len(before_q) + len(round9a.STAGED)
-    finally:
-        for name in round9a.STAGED:
-            plans.QUERIES.pop(name, None)
-            plans.ORACLES.pop(name, None)
+    round9a.register()  # second+ call: no-op
     assert dict(plans.QUERIES) == before_q
     assert dict(plans.ORACLES) == before_o
+    assert set(round9a.STAGED) <= set(plans.QUERIES)

@@ -91,3 +91,11 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round6a  # noqa: F401
     from whisky_wine_etl_spark.plans import round7a  # noqa: F401
     from whisky_wine_etl_spark.plans import round8a  # noqa: F401
+
+    # round9a registers via an explicit flip (not import side-effect):
+    # the module was built+parity-tested during round 8 but held out of
+    # the registry so the r8 slate stayed at exactly 50 unverified
+    # names (SURVEY §20 item 2). Registered at round-9 open.
+    from whisky_wine_etl_spark.plans import round9a
+
+    round9a.register()

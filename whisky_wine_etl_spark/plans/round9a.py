@@ -1,10 +1,9 @@
-"""Round-9a candidates — STAGED, not registered.
+"""Round-9a queries — registered at round-9 open via ``register()``.
 
-Round 8 deliberately holds the registry at 398 so CORRECTNESS_r08's
-50-slot slate covers every remaining unverified name (the 100%
-driver-verification milestone, SURVEY §20 item 1). These two queries
-are the §20 item-2 candidate surfaces, built and parity-tested THIS
-round so round 9 can register them EARLY (not last) on day one:
+Built and parity-tested during round 8 but deliberately held out of
+the registry so CORRECTNESS_r08's 50-slot slate covered every
+remaining unverified name (the 100% driver-verification milestone,
+SURVEY §20 item 1). ``plans.load_all()`` now calls ``register()``:
 
 - ``join_salted_skew`` — the join-side demonstration of
   agg_salted_skew's lever (operators/agg.salted_join): the same
@@ -17,11 +16,9 @@ round so round 9 can register them EARLY (not last) on day one:
   purchase with no same-user signup in the preceding horizon emits a
   proof row once the signup watermark clears it).
 
-To register in round 9: call ``register()`` from plans.load_all (one
-line, after round8a) — names then sort behind every verified name in
-the driver's unverified-first ordering. tests/test_round9_staged.py
-parity-checks both against their oracles NOW so registration is a
-no-risk flip.
+Both names sort into the driver slate's unverified front block in
+__spark_entry__.queries(); tests/test_round9_staged.py parity-checks
+both against their oracles in every pytest run.
 """
 
 from __future__ import annotations
