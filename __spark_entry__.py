@@ -99,6 +99,19 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "text_keyword_rake",
     "text_repetition_signals",
     "text_tfidf_top_terms",
+    # r9: residual integer-context DECIMAL-literal purge (VERDICT r8
+    # "what's wrong" item 1) — the four confirmed class-A forms plus
+    # the five borderline CASE-literal forms, all migrated to
+    # CAST(x AS DOUBLE) / integer counting
+    "stat_chi2_independence",
+    "stat_effect_sizes",
+    "stat_jackknife_ratio",
+    "corpus_perplexity_score",
+    "ml_logistic_newton",
+    "ml_calibration_bins",
+    "stat_kendall_tau_daily",
+    "stat_mann_kendall",
+    "events_multitouch_attribution",
 })
 
 

@@ -777,7 +777,7 @@ v AS (
   FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
 ),
 sc AS (
-  SELECT b.doc_id, LN((c.c12 + 1.0) / (w.c1 + v.vocab)) AS lp
+  SELECT b.doc_id, LN((CAST(c.c12 AS DOUBLE) + 1) / (w.c1 + v.vocab)) AS lp
   FROM bg b JOIN cbg c USING (bigram) JOIN cw1 w USING (w1) CROSS JOIN v
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,

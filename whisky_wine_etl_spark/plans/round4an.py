@@ -67,8 +67,8 @@ t AS (SELECT SUM(n) AS total FROM c),
 chi AS (
   SELECT t.total AS n,
          COUNT(DISTINCT c.a) AS ka, COUNT(DISTINCT c.b) AS kb,
-         SUM(POWER(c.n - ra.na * 1.0 * rb.nb / t.total, 2)
-             / (ra.na * 1.0 * rb.nb / t.total)) AS chi2
+         SUM(POWER(c.n - CAST(ra.na AS DOUBLE) * rb.nb / t.total, 2)
+             / (CAST(ra.na AS DOUBLE) * rb.nb / t.total)) AS chi2
   FROM c JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t
   GROUP BY t.total
 )

@@ -202,13 +202,13 @@ SELECT CAST(s.s AS BIGINT) AS s_stat,
        ROUND((n_.n * (n_.n - 1.0) * (2.0 * n_.n + 5.0) - ties.tie_term)
              / 18.0, 6) AS var_s,
        ROUND(CASE
-         WHEN s.s > 0 THEN (s.s - 1.0)
+         WHEN s.s > 0 THEN (CAST(s.s AS DOUBLE) - 1)
            / sqrt((n_.n * (n_.n - 1.0) * (2.0 * n_.n + 5.0) - ties.tie_term)
                   / 18.0)
-         WHEN s.s < 0 THEN (s.s + 1.0)
+         WHEN s.s < 0 THEN (CAST(s.s AS DOUBLE) + 1)
            / sqrt((n_.n * (n_.n - 1.0) * (2.0 * n_.n + 5.0) - ties.tie_term)
                   / 18.0)
-         ELSE 0.0 END, 6) AS z_score
+         ELSE CAST(0 AS DOUBLE) END, 6) AS z_score
 FROM sstat s, n_, ties
 """,
 )

@@ -775,8 +775,8 @@ t AS (SELECT SUM(n) AS total FROM c)
 SELECT CAST(t.total AS BIGINT) AS n,
        CAST((COUNT(DISTINCT c.a) - 1) * (COUNT(DISTINCT c.b) - 1) AS BIGINT)
          AS dof,
-       ROUND(SUM(POWER(c.n - ra.na * 1.0 * rb.nb / t.total, 2)
-                 / (ra.na * 1.0 * rb.nb / t.total)), 6) AS chi2
+       ROUND(SUM(POWER(c.n - CAST(ra.na AS DOUBLE) * rb.nb / t.total, 2)
+                 / (CAST(ra.na AS DOUBLE) * rb.nb / t.total)), 6) AS chi2
 FROM c JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t
 GROUP BY t.total
 """,

@@ -241,10 +241,10 @@ r AS (
 ),
 c AS (
   SELECT channel,
-         CASE WHEN n = 1 THEN 1.0
+         CASE WHEN n = 1 THEN CAST(1 AS DOUBLE)
               WHEN n = 2 THEN 0.5
               WHEN pos = 1 OR pos = n THEN 0.4
-              ELSE 0.2 / (n - 2) END AS credit
+              ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
   FROM r
 )
 SELECT channel, ROUND(SUM(credit), 6) AS credit,

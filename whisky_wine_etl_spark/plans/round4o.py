@@ -61,13 +61,13 @@ _LOGIT_SOLVE = """
     "ml_logistic_newton",
     f"""
 WITH raw AS (
-  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE) AS y,
          l_quantity AS xr
   FROM lineitem
 ),
 mx AS (SELECT AVG(xr) AS mx FROM raw),
 d AS (SELECT y, xr - (SELECT mx FROM mx) AS x FROM raw),
-b_init AS (SELECT 0.0 AS b0, 0.0 AS b1),
+b_init AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1),
 s1 AS ({_LOGIT_STEP.format(prev="b_init")}),
 b1_ AS ({_LOGIT_SOLVE.format(step="s1")}),
 s2 AS ({_LOGIT_STEP.format(prev="b1_")}),
@@ -161,7 +161,8 @@ j AS (
 )
 SELECT ROUND(theta, 6) AS theta,
        nb AS n_buckets,
-       ROUND(sqrt((nb - 1.0) / nb * (ss - cnt * mloo * mloo)), 6) AS se_jack
+       ROUND(sqrt((CAST(nb AS DOUBLE) - 1) / nb * (ss - cnt * mloo * mloo)), 6)
+         AS se_jack
 FROM j
 """,
 )
@@ -321,16 +322,18 @@ p AS (
   FROM d a JOIN d b ON a.day < b.day
 ),
 c AS (
-  SELECT SUM(CASE WHEN sx * sy > 0 THEN 1.0 ELSE 0.0 END) AS nc,
-         SUM(CASE WHEN sx * sy < 0 THEN 1.0 ELSE 0.0 END) AS nd,
-         SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1.0 ELSE 0.0 END) AS tx,
-         SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1.0 ELSE 0.0 END) AS ty,
+  SELECT SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS nc,
+         SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS nd,
+         SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS tx,
+         SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS ty,
          COUNT(*) AS np
   FROM p
 )
 SELECT CAST(nc AS BIGINT) AS concordant,
        CAST(nd AS BIGINT) AS discordant,
-       ROUND((nc - nd) / sqrt((nc + nd + tx) * (nc + nd + ty)), 6) AS tau_b
+       ROUND(CAST(nc - nd AS DOUBLE)
+             / sqrt(CAST((nc + nd + tx) * (nc + nd + ty) AS DOUBLE)), 6)
+         AS tau_b
 FROM c
 """,
 )

@@ -570,7 +570,7 @@ WITH mx AS (SELECT MAX(o_totalprice) AS m FROM orders),
 b AS (
   SELECT LEAST(CAST(FLOOR(o_totalprice / mx.m * 10) AS BIGINT), 9) AS bin,
          o_totalprice / mx.m AS score,
-         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+         CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS y
   FROM orders, mx
 )
 SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
