@@ -112,6 +112,43 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "stat_kendall_tau_daily",
     "stat_mann_kendall",
     "events_multitouch_attribution",
+    # r9: second purge wave — the new AST-typed gate
+    # (tools/oracle_typing, tests/test_oracle_discipline) found 12
+    # more live class-A forms the regex audit's by-hand adjudication
+    # had passed; all migrated the same way. NOTE: the recheck tier
+    # now exceeds the round's spare slots by a few names — the
+    # overflow simply stays in this tier and drains next round.
+    "corpus_line_dedup",
+    "events_funnel_latency",
+    "events_pareto_share",
+    "geo_grid_radius_join",
+    "geo_haversine_nearest",
+    "graph_pagerank_copurchase",
+    "ml_roc_auc",
+    "stat_mann_whitney_u",
+    "stat_multiple_testing_bh",
+    "stat_spearman_corr",
+    "text_bm25_search",
+    "text_repetition_signals",
+    # r9: git-derived changed-since-green audit
+    # (tests/test_recheck_derivation.py, ADVICE r8 item 3) — these 13
+    # changed semantically AFTER their latest green row in earlier
+    # rounds and were never hand-tiered (e.g. q1's rounding scale
+    # 4/6->2, equidepth's r8 quantile_disc->rank migration). All are
+    # locally parity-green; the driver re-verify is the contract.
+    "dedup_incremental",
+    "events_attribution_models",
+    "flagship_q5_revenue_by_nation",
+    "graph_triangle_count",
+    "q11_important_stock",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "sim_topk_bruteforce",
+    "sim_topk_pandas_udf",
+    "sketch_equidepth_hist",
+    "stat_rfm_segments",
+    "stream_left_outer_attribution",
 })
 
 

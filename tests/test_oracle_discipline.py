@@ -110,6 +110,72 @@ def test_on_half_migrations_stay_pinned():
         assert re.search(r"FLOOR\s*\(", sql, re.I), name
 
 
+# --- class-A static gate (r9, VERDICT r8 item 3) -----------------------
+#
+# Adjudicated allowlist for tools/oracle_typing.class_a_hits. The ONLY
+# sanctioned pattern is the explicit fixed-scale money accumulation
+# SUM(CAST(x AS DECIMAL(18,2))): both engines declare the identical
+# DECIMAL(18,2) input type, summation widens to DECIMAL(38,2) under
+# every DuckDB version's rule (scale never changes on SUM), the inputs
+# are 2-dp-generated values ~1e-13 from the grid so the double->decimal
+# cast cannot straddle a .005 boundary, and the result is cast back to
+# DOUBLE before output. That exactness is the POINT of these queries
+# (decimal-exact revenue vs float accumulation). Each entry lists the
+# number of sanctioned hits so a new hit in the same oracle still
+# fails. Additions are a design decision, not a default.
+_CLASS_A_ALLOWED: dict[str, int] = {
+    "etl_incremental_agg_state": 2,
+    "privacy_tokenization_vault": 1,
+    "sql_pipe_segment_revenue": 1,
+    "sql_scripting_block": 1,
+    "sql_session_variables": 1,
+}
+
+
+def test_no_integer_context_decimal_literals():
+    """The r5/r7 red mechanism, gated statically: no oracle may carry
+    a decimal literal whose every arithmetic neighbor types INTEGER
+    (R1), nor a SUM/AVG over a DECIMAL-typed expression (R2), beyond
+    the line-adjudicated allowlist above. Typing comes from DuckDB's
+    own parser + the live parquet schemas (tools/oracle_typing)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_typing",
+        str(
+            pathlib.Path(__file__).resolve().parents[1]
+            / "tools"
+            / "oracle_typing.py"
+        ),
+    )
+    ot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ot)
+
+    from whisky_wine_etl_spark.catalog import TABLES
+
+    base = ot.base_column_categories(SF, list(TABLES))
+    offenders: dict[str, list[str]] = {}
+    for name, sql in plans.ORACLES.items():
+        hits = ot.class_a_hits(sql, base)
+        allowed = _CLASS_A_ALLOWED.get(name, 0)
+        if len(hits) > allowed:
+            offenders[name] = hits
+    assert offenders == {}, (
+        "integer-context decimal-literal arithmetic (the r5/r7 red "
+        f"mechanism) found in: {offenders} — migrate to CAST(x AS "
+        "DOUBLE) per tools/logs/r8_oracle_fragility_audit.md rule 4, "
+        "or adjudicate into _CLASS_A_ALLOWED with a written reason"
+    )
+    # stale-allowlist guard: every allowlisted oracle must still exist
+    # and still carry exactly its sanctioned hit count
+    for name, count in _CLASS_A_ALLOWED.items():
+        assert name in plans.ORACLES, f"stale allowlist entry {name}"
+        assert len(ot.class_a_hits(plans.ORACLES[name], base)) == count, (
+            f"{name}: allowlisted hit count changed — re-adjudicate"
+        )
+
+
 def test_pre_round_substitution_arity():
     """The probe's ROUND rewriter must handle nesting, 1-arg calls,
     and parens/commas hiding inside string literals."""

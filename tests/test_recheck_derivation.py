@@ -1,0 +1,238 @@
+"""Derive the recheck tier from git instead of trusting the hand list.
+
+ADVICE r8: tests/test_entry_ordering.py catches typo'd, stale, or
+unverified _RECHECK_FIRST entries, but not an OMITTED one — a query
+whose code/oracle changed after its green CORRECTNESS row and that
+nobody added to the tier would silently lose its re-verify priority.
+
+This test reconstructs, for every driver-verified query, the state of
+its registration site at the commit where its LATEST green
+CORRECTNESS row landed, and compares it with the working tree:
+
+- fingerprint(name) = the source segment of the query's registration
+  (its @query decorator + function) in the defining plans module,
+  plus the module's top-level constant assignments (shared SQL
+  fragments like _LOGIT_STEP live there). Modules where a name's
+  site cannot be located statically (e.g. round9a's dict-driven
+  register()) fall back to whole-file text.
+- baseline commit = the first commit touching CORRECTNESS_r{R}.json
+  for the latest round R with the name green (a re-verified name
+  advances its own baseline).
+- any name whose fingerprint differs from its baseline MUST be in
+  __spark_entry__._RECHECK_FIRST.
+
+Known limitation (accepted): a change in a HELPER FUNCTION another
+module imports does not flag its callers; the full parity sweeps
+remain the behavioral net for those.
+"""
+
+from __future__ import annotations
+
+import ast
+import functools
+import glob
+import json
+import os
+import re
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PLANS_DIR = os.path.join(REPO, "whisky_wine_etl_spark", "plans")
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _strip_docstring(node: ast.AST) -> ast.AST:
+    body = getattr(node, "body", None)
+    if (
+        body
+        and isinstance(body[0], ast.Expr)
+        and isinstance(body[0].value, ast.Constant)
+        and isinstance(body[0].value.value, str)
+    ):
+        node.body = body[1:] or [ast.Pass()]
+    return node
+
+
+def _fingerprints_from_source(src: str) -> dict[str, str]:
+    """name -> fingerprint for every @query("name", ...) registration
+    in one module's source.
+
+    Fingerprint = ast.dump of the decorated function (docstring
+    stripped, so comment/pricing-note edits don't flag) + the dumps of
+    every module-level assignment / helper def the function's subtree
+    references, transitively (shared SQL fragments like _LOGIT_STEP
+    flag exactly the queries that interpolate them). ast.dump ignores
+    formatting, so only semantic edits register."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {"": src}  # unparseable historical file: whole-text
+    module_defs: dict[str, str] = {}
+    dep_names: dict[str, set[str]] = {}
+    for node in tree.body:
+        names: list[str] = []
+        if isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            dump_node = node.value
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            names = [node.target.id]
+            dump_node = node.value or node
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            names = [node.name]
+            dump_node = _strip_docstring(node)
+        else:
+            continue
+        dumped = ast.dump(dump_node)
+        used = {
+            n.id for n in ast.walk(dump_node) if isinstance(n, ast.Name)
+        }
+        for nm in names:
+            module_defs[nm] = dumped
+            dep_names[nm] = used
+
+    def closure(used: set[str]) -> str:
+        seen: set[str] = set()
+        frontier = sorted(used & module_defs.keys())
+        parts: list[str] = []
+        while frontier:
+            nm = frontier.pop()
+            if nm in seen:
+                continue
+            seen.add(nm)
+            parts.append(f"{nm}={module_defs[nm]}")
+            frontier.extend(sorted(dep_names.get(nm, set()) & module_defs.keys()))
+        return "\n".join(sorted(parts))
+
+    out: dict[str, str] = {"": ""}
+    for node in tree.body:
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        for dec in node.decorator_list:
+            if (
+                isinstance(dec, ast.Call)
+                and isinstance(dec.func, ast.Name)
+                and dec.func.id == "query"
+                and dec.args
+                and isinstance(dec.args[0], ast.Constant)
+                and isinstance(dec.args[0].value, str)
+            ):
+                qname = dec.args[0].value
+                used = {
+                    n.id for n in ast.walk(node) if isinstance(n, ast.Name)
+                }
+                fn_dump = ast.dump(_strip_docstring(node))
+                out[qname] = fn_dump + "\n" + closure(used)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _file_at(commit: str, relpath: str) -> str | None:
+    try:
+        return _git("show", f"{commit}:{relpath}")
+    except subprocess.CalledProcessError:
+        return None  # file did not exist at that commit
+
+
+@functools.lru_cache(maxsize=None)
+def _fingerprints_at(commit: str, relpath: str) -> dict[str, str] | None:
+    src = _file_at(commit, relpath)
+    return None if src is None else _fingerprints_from_source(src)
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    rounds: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        r = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if isinstance(row, dict) and (
+                row.get("hash_match") is True or row.get("err") == "no_oracle"
+            ):
+                if r > rounds.get(name, -1):
+                    rounds[name] = r
+    return rounds
+
+
+@functools.lru_cache(maxsize=None)
+def _baseline_commit(round_no: int) -> str | None:
+    log = _git(
+        "log", "--reverse", "--format=%H", "--",
+        f"CORRECTNESS_r{round_no:02d}.json", f"CORRECTNESS_r{round_no}.json",
+    ).split()
+    return log[0] if log else None
+
+
+def test_changed_since_green_names_are_in_recheck_tier():
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry  # noqa: PLC0415
+
+    # current fingerprints from the WORKING TREE (not HEAD): an edit
+    # must enter the tier in the same change set, before any commit
+    current: dict[str, tuple[str, str]] = {}  # name -> (file, fingerprint)
+    for path in sorted(glob.glob(os.path.join(PLANS_DIR, "*.py"))):
+        with open(path) as f:
+            src = f.read()
+        fps = _fingerprints_from_source(src)
+        rel = os.path.relpath(path, REPO)
+        for name, seg in fps.items():
+            if name:
+                current[name] = (rel, seg)
+
+    greens = _latest_green_rounds()
+    from whisky_wine_etl_spark import plans
+
+    plans.load_all()
+
+    missing_from_tier: dict[str, str] = {}
+    for name, round_no in sorted(greens.items()):
+        if name not in plans.QUERIES:
+            continue  # renamed/retired registration
+        commit = _baseline_commit(round_no)
+        assert commit, f"no commit found for CORRECTNESS round {round_no}"
+        if name in current:
+            rel, seg = current[name]
+            old = _fingerprints_at(commit, rel)
+            if old is None:
+                # module moved since the green round: treat as changed
+                changed = True
+            elif name in old:
+                changed = seg != old[name]
+            else:
+                # historical file predates static extraction for this
+                # name (or used dynamic registration): whole-file text
+                changed = _file_at(commit, rel) != open(
+                    os.path.join(REPO, rel)
+                ).read()
+        else:
+            # dynamically-registered name (round9a register()): find
+            # its module by text search, whole-file comparison
+            hits = [
+                p
+                for p in glob.glob(os.path.join(PLANS_DIR, "*.py"))
+                if f'"{name}"' in open(p).read()
+            ]
+            changed = False
+            for p in hits:
+                rel = os.path.relpath(p, REPO)
+                if _file_at(commit, rel) != open(p).read():
+                    changed = True
+        if changed and name not in entry._RECHECK_FIRST:
+            missing_from_tier[name] = f"changed since green r{round_no}"
+
+    assert missing_from_tier == {}, (
+        "queries changed since their green CORRECTNESS row but OMITTED "
+        f"from _RECHECK_FIRST: {missing_from_tier}"
+    )

@@ -151,6 +151,65 @@ def _round_sites(sql: str) -> list[re.Match]:
     return [m for m in ROUND_RE.finditer(sql) if not _in_spans(m.start(), spans)]
 
 
+AGG_RE = re.compile(
+    r"\b(MIN|MAX|SUM|AVG|ANY_VALUE|FIRST|LAST|ARBITRARY|STRING_AGG|"
+    r"LIST|ARRAY_AGG|MEDIAN|MODE)\s*\(",
+    re.I,
+)
+
+
+def _call_span(sql: str, open_paren_end: int) -> int:
+    """End index (exclusive) of the call whose '(' just closed at
+    open_paren_end, using the shared masked-span scanner."""
+    spans = masked_spans(sql)
+    i, depth = open_paren_end, 1
+    while i < len(sql) and depth:
+        if _in_spans(i, spans):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
+def probe_e_blind_spots(sql: str) -> list[str]:
+    """Sites where the probe-E macro substitution is structurally
+    BLIND (ADVICE r8): a ROUND nested inside another ROUND feeds the
+    inner call's *distance* (not the true pre-round value) into the
+    outer macro, and a ROUND consumed by an aggregate binds the
+    VARCHAR-tagged distance so a lexicographic extremum can mask the
+    true numeric minimum without any row-count shift. Both must be
+    adjudicated by hand, never reported as a clean distance."""
+    notes: list[str] = []
+    rounds = [(m.start(), _call_span(sql, m.end())) for m in _round_sites(sql)]
+    for i, (s1, e1) in enumerate(rounds):
+        if any(s2 < s1 < e2 for j, (s2, e2) in enumerate(rounds) if j != i):
+            notes.append(
+                "nested-ROUND: outer macro sees the inner call's "
+                f"distance, not its value — {sql[s1:min(e1, s1 + 60)]!r}"
+            )
+    spans = masked_spans(sql)
+    aggs = [
+        (m.start(), _call_span(sql, m.end()))
+        for m in AGG_RE.finditer(sql)
+        if not _in_spans(m.start(), spans)
+    ]
+    for s1, e1 in rounds:
+        for s2, e2 in aggs:
+            if s2 < s1 < e2:
+                notes.append(
+                    "ROUND inside aggregate: VARCHAR-bound extremum can "
+                    "mask the numeric minimum distance — "
+                    f"{sql[s2:min(e2, s2 + 60)]!r}"
+                )
+                break
+    return notes
+
+
 def substitute_round(sql: str, macro: str = "__pre_round_dist") -> str:
     """Rewrite every code-position ROUND(...) call to macro(...),
     arity-aware: 1-arg ROUND(x) (integer rounding) becomes macro(x, 0).
@@ -231,7 +290,18 @@ def main() -> None:
         if dec_cols:
             n_decout += 1
             lines.append("  [D DECIMAL-typed output] Decimal cell in result")
-        if has_round:
+        blind = probe_e_blind_spots(raw) if has_round else []
+        if blind:
+            # ADVICE r8: these structures make any reported distance
+            # untrustworthy (inner-distance feeding, VARCHAR extremum
+            # masking) — route straight to by-hand adjudication
+            for b in blind:
+                lines.append(f"  [E pre-round distance] BLIND SPOT — {b}")
+            lines.append(
+                "  [E pre-round distance] substitution structurally "
+                "blind here — adjudicate by hand"
+            )
+        if has_round and not blind:
             worst = None
             precise = True
             note = None

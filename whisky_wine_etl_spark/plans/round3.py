@@ -1206,17 +1206,17 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS r FROM nodes),
 c1 AS (SELECT e.dst AS node, SUM(r0.r / deg.d) AS c
        FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.node = e.src
        GROUP BY e.dst),
-r1 AS (SELECT n.node, 0.15 / (SELECT cnt FROM nn) + 0.85 * COALESCE(c1.c, 0) AS r
+r1 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn) + 0.85 * COALESCE(c1.c, 0) AS r
        FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
 c2 AS (SELECT e.dst AS node, SUM(r1.r / deg.d) AS c
        FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.node = e.src
        GROUP BY e.dst),
-r2 AS (SELECT n.node, 0.15 / (SELECT cnt FROM nn) + 0.85 * COALESCE(c2.c, 0) AS r
+r2 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn) + 0.85 * COALESCE(c2.c, 0) AS r
        FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
 c3 AS (SELECT e.dst AS node, SUM(r2.r / deg.d) AS c
        FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.node = e.src
        GROUP BY e.dst),
-r3 AS (SELECT n.node, 0.15 / (SELECT cnt FROM nn) + 0.85 * COALESCE(c3.c, 0) AS r
+r3 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn) + 0.85 * COALESCE(c3.c, 0) AS r
        FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
 SELECT node AS l_partkey, ROUND(r * 1000, 6) AS pagerank_x1000 FROM r3
 """,

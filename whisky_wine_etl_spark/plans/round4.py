@@ -514,7 +514,7 @@ ln AS (
   SELECT doc_id, CAST(i.i AS BIGINT) AS line_idx,
          array_to_string(toks[(i.i*10+1):(i.i*10+10)], ' ') AS line_text,
          LEAST(len(toks) - i.i*10, 10) AS n_toks
-  FROM tk, LATERAL (SELECT unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS i) i(i)
+  FROM tk, LATERAL (SELECT unnest(range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 10) AS BIGINT))) AS i) i(i)
 ),
 r AS (
   SELECT doc_id, n_toks,

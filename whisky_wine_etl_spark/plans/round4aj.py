@@ -33,14 +33,14 @@ def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     f"""
 WITH st AS (
   SELECT s_suppkey AS station_id,
-         ((s_suppkey * 41) % 840) / 7.0 - 60.0 AS slat,
-         ((s_suppkey * 97) % 2520) / 7.0 - 180.0 AS slon
+         CAST((s_suppkey * 41) % 840 AS DOUBLE) / 7 - 60.0 AS slat,
+         CAST((s_suppkey * 97) % 2520 AS DOUBLE) / 7 - 180.0 AS slon
   FROM supplier
 ),
 cu AS (
   SELECT c_custkey,
-         ((c_custkey * 13) % 840) / 7.0 - 60.0 AS clat,
-         ((c_custkey * 29) % 2520) / 7.0 - 180.0 AS clon
+         CAST((c_custkey * 13) % 840 AS DOUBLE) / 7 - 60.0 AS clat,
+         CAST((c_custkey * 29) % 2520 AS DOUBLE) / 7 - 180.0 AS clon
   FROM customer
 )
 SELECT c_custkey, station_id,

@@ -53,7 +53,7 @@ bm AS (SELECT doc_id, MAX(c) AS best, SUM(c) AS total FROM bc GROUP BY doc_id),
 ln AS (
   SELECT doc_id, array_to_string(toks[(i.i * 10 + 1):(i.i * 10 + 10)], ' ') AS line_text
   FROM tk, LATERAL (
-    SELECT unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i) i(i)
+    SELECT unnest(range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 10) AS BIGINT))) AS i) i(i)
 ),
 lm AS (
   SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT line_text) AS n_uniq_lines

@@ -240,9 +240,11 @@ tf AS (
 dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
 sc AS (
   SELECT tf.doc_id,
-         SUM(ln(1 + (s.n_docs - dfq.dfc + 0.5) / (dfq.dfc + 0.5))
-             * tf.tf * (1.2 + 1)
-             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+         SUM(ln(1 + (CAST(s.n_docs - dfq.dfc AS DOUBLE) + 0.5)
+                    / (CAST(dfq.dfc AS DOUBLE) + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)))
+           AS score
   FROM tf
   JOIN dfq USING (term)
   JOIN d USING (doc_id)

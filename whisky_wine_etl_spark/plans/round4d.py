@@ -108,7 +108,7 @@ r AS (
 agg AS (
   SELECT CAST(SUM(g) AS BIGINT) AS n1,
          CAST(SUM(1 - g) AS BIGINT) AS n2,
-         SUM(CASE WHEN g = 1 THEN mr + (t - 1) / 2.0 END) AS r1
+         SUM(CASE WHEN g = 1 THEN mr + (CAST(t AS DOUBLE) - 1) / 2 END) AS r1
   FROM r
 ),
 ties AS (
@@ -116,11 +116,13 @@ ties AS (
   FROM (SELECT value, COUNT(*) AS t FROM s GROUP BY value)
 )
 SELECT n1, n2,
-       ROUND(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1,
-       ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
-             / sqrt(n1 * n2 / 12.0
+       ROUND(r1 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2, 4) AS u1,
+       ROUND((r1 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 * n2 AS DOUBLE) / 2)
+             / sqrt(CAST(n1 * n2 AS DOUBLE) / 12
                     * ((n1 + n2 + 1)
-                       - tie3 / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z
+                       - tie3 / (CAST(n1 + n2 AS DOUBLE)
+                                 * (n1 + n2 - 1)))), 4) AS z
 FROM agg, ties
 """,
 )

@@ -183,7 +183,8 @@ rk AS (
   FROM pu
 ),
 dec AS (
-  SELECT CAST(CEIL(i * 10.0 / n_users) AS INT) AS decile, n_events, total
+  SELECT CAST(CEIL(CAST(i AS DOUBLE) * 10 / n_users) AS INT) AS decile,
+         n_events, total
   FROM rk
 )
 SELECT decile,

@@ -91,8 +91,10 @@ WITH s AS (
   FROM orders JOIN customer ON c_custkey = o_custkey
 ),
 r AS (
-  SELECT rank() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
-         rank() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry,
+  SELECT rank() OVER (ORDER BY x)
+           + (CAST(COUNT(*) OVER (PARTITION BY x) AS DOUBLE) - 1) / 2 AS rx,
+         rank() OVER (ORDER BY y)
+           + (CAST(COUNT(*) OVER (PARTITION BY y) AS DOUBLE) - 1) / 2 AS ry,
          x, y
   FROM s
 )

@@ -209,8 +209,10 @@ conv AS (
 )
 SELECT CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_viewers,
        CAST(COUNT(*) AS BIGINT) AS n_converted,
-       ROUND(quantile_cont(lat_us / 3600000000.0, 0.5), 4) AS median_hours,
-       ROUND(quantile_cont(lat_us / 3600000000.0, 0.9), 4) AS p90_hours
+       ROUND(quantile_cont(CAST(lat_us AS DOUBLE) / 3600000000, 0.5), 4)
+         AS median_hours,
+       ROUND(quantile_cont(CAST(lat_us AS DOUBLE) / 3600000000, 0.9), 4)
+         AS p90_hours
 FROM conv
 """,
 )

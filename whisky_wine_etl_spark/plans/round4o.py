@@ -538,14 +538,14 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH st AS (
   SELECT n_nationkey AS station_id,
-         ((n_nationkey * 37) % 120) - 60.0 AS slat,
-         ((n_nationkey * 73) % 360) - 180.0 AS slon
+         CAST((n_nationkey * 37) % 120 AS DOUBLE) - 60 AS slat,
+         CAST((n_nationkey * 73) % 360 AS DOUBLE) - 180 AS slon
   FROM nation
 ),
 cu AS (
   SELECT c_custkey,
-         ((c_custkey * 13) % 120) - 60.0 AS clat,
-         ((c_custkey * 29) % 360) - 180.0 AS clon
+         CAST((c_custkey * 13) % 120 AS DOUBLE) - 60 AS clat,
+         CAST((c_custkey * 29) % 360 AS DOUBLE) - 180 AS clon
   FROM customer
 ),
 d AS (

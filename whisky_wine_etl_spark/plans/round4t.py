@@ -69,7 +69,8 @@ r AS (
 ),
 h AS (
   SELECT nation, pval, rk, m,
-         MAX(CASE WHEN pval * m <= 0.05 * rk THEN rk ELSE 0 END) OVER () AS kmax
+         MAX(CASE WHEN pval * m <= 0.05 * CAST(rk AS DOUBLE) THEN rk ELSE 0 END)
+           OVER () AS kmax
   FROM r
 )
 SELECT nation, ROUND(pval, 6) AS p_value, CAST(rk AS INT) AS p_rank,

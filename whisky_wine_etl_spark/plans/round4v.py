@@ -512,8 +512,10 @@ c AS (
          SUM(pos) OVER () AS n_pos, SUM(neg) OVER () AS n_neg
   FROM s
 )
-SELECT ROUND(SUM(pos * (neg_below + neg / 2.0)) / (MIN(n_pos) * MIN(n_neg)), 6) AS auc,
-       ROUND(2 * SUM(pos * (neg_below + neg / 2.0)) / (MIN(n_pos) * MIN(n_neg)) - 1, 6) AS gini,
+SELECT ROUND(SUM(pos * (neg_below + CAST(neg AS DOUBLE) / 2))
+             / (MIN(n_pos) * MIN(n_neg)), 6) AS auc,
+       ROUND(2 * SUM(pos * (neg_below + CAST(neg AS DOUBLE) / 2))
+             / (MIN(n_pos) * MIN(n_neg)) - 1, 6) AS gini,
        CAST(MIN(n_pos) AS BIGINT) AS n_pos, CAST(MIN(n_neg) AS BIGINT) AS n_neg
 FROM c
 """,
