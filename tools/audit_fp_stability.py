@@ -27,8 +27,6 @@ Default names: the exact 50-query slate the round-6 driver will pull.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import sys
 
@@ -40,16 +38,20 @@ from whisky_wine_etl_spark.session import get_spark  # noqa: E402
 
 
 def driver_slate(n: int = 50) -> list[str]:
-    green: set[str] = set()
-    for path in glob.glob("CORRECTNESS_r*.json"):
-        for name, row in json.load(open(path)).items():
-            if isinstance(row, dict) and (
-                row.get("hash_match") is True or row.get("err") == "no_oracle"
-            ):
-                green.add(name)
-    names = list(plans.QUERIES)
-    names.sort(key=lambda nm: (nm in green, not nm.startswith("wine_")))
-    return names[:n]
+    """The EXACT slate the driver pulls: defer to __spark_entry__'s
+    ordering (unverified first, then the _RECHECK_FIRST tier) instead
+    of re-deriving it here — a local re-derivation drifted once
+    already (it predated the recheck tier and silently audited the
+    wrong 50 names)."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return list(mod.queries())[:n]
 
 
 def spark_canon(spark, name: str, sf_dir: str):
