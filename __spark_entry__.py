@@ -149,6 +149,11 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "sketch_equidepth_hist",
     "stat_rfm_segments",
     "stream_left_outer_attribution",
+    # r9: graduated from the rows-only carve-out to an EXACT minimax
+    # oracle (+ pinned rounding on both sides) — its r8 green row was
+    # the weaker rows-only check, so the driver must re-verify under
+    # the hash gate
+    "ml_isotonic_calibration",
 })
 
 

@@ -65,10 +65,11 @@ ROWS_ONLY_CARVE_OUTS: frozenset[str] = frozenset(
         "sim_topk_ivf",
         "sim_topk_mips",
         "sim_topk_pq",
-        # iterative numeric algorithm whose pool-adjacent-violators
-        # merge order SQL can't replay faithfully; cross-checked
-        # against a naive PAVA in tests
-        "ml_isotonic_calibration",
+        # ml_isotonic_calibration graduated OUT of this set in r9:
+        # weighted-L2 isotonic regression is unique, so the minimax
+        # formula over integer prefix sums is an exact SQL twin of the
+        # driver-side PAVA (see its docstring for the bit-identity
+        # argument)
     }
 )
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.functions.rounding import pinned
 from whisky_wine_etl_spark.plans.registry import query
 
 
@@ -131,7 +132,46 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_isotonic_calibration")  # PAVA has no SQL twin -> rows-only
+@query(
+    "ml_isotonic_calibration",
+    """
+WITH big AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0
+),
+scored AS (
+  SELECT LEAST(49, GREATEST(0,
+           CAST(FLOOR(((c_acctbal + 1000.0) / 12000.0) * 50) AS INT))) AS bin,
+         CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+  FROM customer c LEFT JOIN big b ON b.o_custkey = c.c_custkey
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos
+  FROM scored GROUP BY bin
+),
+pre AS (
+  SELECT bin, n, pos,
+         SUM(n) OVER (ORDER BY bin) AS cn,
+         SUM(pos) OVER (ORDER BY bin) AS cp,
+         ROW_NUMBER() OVER (ORDER BY bin) AS i
+  FROM bins
+),
+seg AS (
+  SELECT a.i AS j, b.i AS k,
+         CAST(b.cp - a.cp + a.pos AS DOUBLE) / (b.cn - a.cn + a.n) AS r
+  FROM pre a JOIN pre b ON a.i <= b.i
+),
+mins AS (
+  SELECT s.j, p.i, MIN(s.r) AS minr
+  FROM seg s JOIN pre p ON s.j <= p.i AND p.i <= s.k
+  GROUP BY s.j, p.i
+),
+iso AS (SELECT i, MAX(minr) AS iso_raw FROM mins GROUP BY i)
+SELECT p.bin, p.n,
+       FLOOR(CAST(p.pos AS DOUBLE) / p.n * 1000000 + 0.5) / 1000000 AS raw_rate,
+       FLOOR(iso.iso_raw * 1000000 + 0.5) / 1000000 AS iso_rate
+FROM pre p JOIN iso ON iso.i = p.i
+""",
+)
 def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration by pool-adjacent-violators: a raw score
     (scaled account balance) predicts whether a customer has a
@@ -142,9 +182,20 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic post-hoc calibrator when Platt scaling's sigmoid shape is
     wrong. Properties pinned in tests: output monotone nondecreasing
     in score, pool rates = weighted means of their members, global
-    weighted mean preserved. Rows-only driver check (PAVA's
-    sequential pooling has no SQL twin); companion
-    ml_calibration_bins carries the exact-oracle uncalibrated view."""
+    weighted mean preserved.
+
+    EXACT oracle since r9 (formerly a rows-only carve-out): PAVA's
+    merge ORDER is irrelevant because weighted-L2 isotonic regression
+    has a unique solution with the minimax characterization
+    iso(i) = max_{j<=i} min_{k>=i} mean(j..k); the oracle computes it
+    from integer prefix sums over the <=50-bin frame (O(bins^3) pair
+    joins on a 50-row CTE — free). Bit-identity holds because
+    correctly-rounded IEEE division is MONOTONE on exact-integer
+    operands: min_k nearest(P/N) = nearest(min_k P/N), so the SQL
+    max-of-min equals nearest(pool rational) — the very double the
+    driver-side PAVA emits from its pool division. Both sides pin
+    rounding (floor(x*1e6+0.5)/1e6) since calibration rates are
+    small-denominator rationals that can sit ON rounding halves."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     big = (
@@ -203,8 +254,8 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bin",
             "n",
-            F.round("raw_rate", 6).alias("raw_rate"),
-            F.round("iso_rate", 6).alias("iso_rate"),
+            pinned(F.col("raw_rate"), 6).alias("raw_rate"),
+            pinned(F.col("iso_rate"), 6).alias("iso_rate"),
         )
         .orderBy("bin")
     )
