@@ -156,6 +156,22 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "ml_isotonic_calibration",
 })
 
+# Within the recheck tier, these names sort FIRST (in this order).
+# The tier exceeds one round's 50-slot budget, and plain registration
+# order would push the HIGHEST-risk rechecks into the spill by
+# accident: these four are the ones whose check class or computation
+# changed in kind (a brand-new exact oracle; a quantile_disc->rank
+# semantic rewrite; two on-half floor-pins whose data provably sits
+# where engine rounding rules split). The remaining spill is pure
+# CAST-AS-DOUBLE migrations whose values are bit-identical today by
+# construction — the lowest-risk class in the tier.
+_RECHECK_PRIORITY: tuple[str, ...] = (
+    "ml_isotonic_calibration",
+    "sketch_equidepth_hist",
+    "ts_time_weighted_avg",
+    "text_cdc_chunks",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
@@ -171,16 +187,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green = _verified_names()
     names = list(plans.QUERIES)
     recheck = _RECHECK_FIRST
+    prio = {n: i for i, n in enumerate(_RECHECK_PRIORITY)}
     # Stable sort: ties keep registration order without an index key.
     # The recheck tier applies ONLY inside the verified block — an
     # unverified name is already in the slate's front block, and
     # letting recheck membership reorder it there would perturb the
     # crafted registration order (ts_holt_linear is such a name: in
-    # the r8 slate AND code-changed).
+    # the r8 slate AND code-changed). Within the tier, the explicit
+    # _RECHECK_PRIORITY names lead; everything else keeps
+    # registration order.
     names.sort(
         key=lambda n: (
             n in green,
             n in green and n not in recheck,
+            prio.get(n, len(prio)) if (n in green and n in recheck) else 0,
             not n.startswith("wine_"),
         )
     )

@@ -59,3 +59,18 @@ def test_recheck_names_are_live_verified_oracled():
     n_unver = sum(1 for n in names if n not in green)
     tier_slots = names[n_unver : n_unver + len(mod._RECHECK_FIRST)]
     assert set(tier_slots) == set(mod._RECHECK_FIRST)
+
+
+def test_recheck_priority_names_lead_the_tier():
+    """_RECHECK_PRIORITY promotes the highest-risk rechecks (check-
+    class upgrades, on-half pins) to the tier's head so an oversize
+    tier spills only the low-risk CAST migrations to the next round."""
+    mod = _entry()
+    green = mod._verified_names()
+    assert set(mod._RECHECK_PRIORITY) <= mod._RECHECK_FIRST, (
+        "priority names must be tier members"
+    )
+    names = list(mod.queries())
+    n_unver = sum(1 for n in names if n not in green)
+    head = names[n_unver : n_unver + len(mod._RECHECK_PRIORITY)]
+    assert head == list(mod._RECHECK_PRIORITY)
