@@ -176,9 +176,7 @@ def test_no_integer_context_decimal_literals():
         )
 
 
-def test_pre_round_substitution_arity():
-    """The probe's ROUND rewriter must handle nesting, 1-arg calls,
-    and parens/commas hiding inside string literals."""
+def _frag_module():
     import importlib.util
     import pathlib
 
@@ -192,6 +190,32 @@ def test_pre_round_substitution_arity():
     )
     frag = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(frag)
+    return frag
+
+
+def test_probe_e_blind_spot_detection():
+    """ADVICE r8: nested ROUND and aggregate-consumed ROUND make the
+    probe's substituted distances untrustworthy — the detector must
+    flag both, skip string-literal fakes, and pass plain forms (and
+    the current oracle corpus must contain zero blind-spot sites,
+    else the committed scan's distances are partly masked)."""
+    frag = _frag_module()
+    assert frag.probe_e_blind_spots("SELECT ROUND(ROUND(x, 2) + 1, 4)")
+    assert frag.probe_e_blind_spots("SELECT MIN(ROUND(x, 2)) FROM t")
+    assert frag.probe_e_blind_spots("SELECT ROUND(x, 2), MAX(y) FROM t") == []
+    assert frag.probe_e_blind_spots("SELECT 'MIN(', ROUND(x, 2) FROM t") == []
+    offenders = {
+        n: notes
+        for n, s in plans.ORACLES.items()
+        if (notes := frag.probe_e_blind_spots(s))
+    }
+    assert offenders == {}
+
+
+def test_pre_round_substitution_arity():
+    """The probe's ROUND rewriter must handle nesting, 1-arg calls,
+    and parens/commas hiding inside string literals."""
+    frag = _frag_module()
     out = frag.substitute_round("SELECT ROUND(x), round(ROUND(y, 2) + 1, 4)")
     assert out == (
         "SELECT __pre_round_dist(x, 0), "
