@@ -176,6 +176,34 @@ def test_no_integer_context_decimal_literals():
         )
 
 
+def test_no_limit_without_order_by():
+    """An unordered LIMIT's row set is engine- and thread-dependent —
+    a red-row source no value discipline can fix. Every LIMIT in every
+    oracle (CTEs and subqueries included) must sit under an ORDER BY
+    on the same SELECT node. Boundary TIES under an existing ORDER BY
+    are the empirical half, covered by the DuckDB thread-perturbation
+    sweep (tools/audit_fp_stability.py and the r9 corpus-wide pass)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_typing",
+        str(
+            pathlib.Path(__file__).resolve().parents[1]
+            / "tools"
+            / "oracle_typing.py"
+        ),
+    )
+    ot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ot)
+    offenders = {
+        n: hits
+        for n, s in plans.ORACLES.items()
+        if (hits := ot.limit_without_order(s))
+    }
+    assert offenders == {}
+
+
 def _frag_module():
     import importlib.util
     import pathlib

@@ -96,6 +96,18 @@ def test_passes_known_good_forms(name):
     assert ot.class_a_hits(GOOD[name], BASE) == [], name
 
 
+def test_limit_without_order_detection():
+    assert ot.limit_without_order("SELECT a FROM t LIMIT 5")
+    assert ot.limit_without_order("SELECT a FROM t ORDER BY a LIMIT 5") == []
+    # nested: an inner unordered LIMIT is just as nondeterministic
+    assert ot.limit_without_order(
+        "SELECT * FROM (SELECT a FROM t LIMIT 3) s ORDER BY a"
+    )
+    assert ot.limit_without_order(
+        "WITH c AS (SELECT a FROM t ORDER BY a LIMIT 3) SELECT * FROM c"
+    ) == []
+
+
 def test_unparseable_oracle_raises():
     with pytest.raises(ValueError):
         ot.class_a_hits("SELEC nonsense FRM", BASE)

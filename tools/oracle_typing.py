@@ -295,6 +295,46 @@ def base_column_categories(sf_dir: str, tables: list[str]) -> dict[str, str]:
     }
 
 
+def _collect_modifier_nodes(obj, out: list) -> None:
+    if isinstance(obj, dict):
+        if "modifiers" in obj and isinstance(obj["modifiers"], list):
+            out.append(obj)
+        for v in obj.values():
+            _collect_modifier_nodes(v, out)
+    elif isinstance(obj, list):
+        for v in obj:
+            _collect_modifier_nodes(v, out)
+
+
+def limit_without_order(sql: str) -> list[str]:
+    """SELECT nodes (anywhere — CTEs, subqueries) carrying a LIMIT
+    modifier without an ORDER modifier on the SAME node. An unordered
+    LIMIT's row set is engine- and thread-count-dependent — a red-row
+    source no value discipline can fix. Returns one description per
+    offending node."""
+    con = duckdb.connect()
+    try:
+        escaped = sql.replace("'", "''")
+        raw = con.execute(f"SELECT json_serialize_sql('{escaped}')").fetchone()[0]
+    finally:
+        con.close()
+    ast = json.loads(raw)
+    if ast.get("error"):
+        raise ValueError(f"unparseable oracle: {ast.get('error_message')}")
+    nodes: list = []
+    _collect_modifier_nodes(ast.get("statements", []), nodes)
+    hits: list[str] = []
+    for node in nodes:
+        kinds = {m.get("type") for m in node["modifiers"]}
+        if "LIMIT_MODIFIER" in kinds and "ORDER_MODIFIER" not in kinds:
+            sel = ", ".join(
+                (it.get("alias") or str(it.get("column_names", it.get("class"))))
+                for it in (node.get("select_list") or [])[:4]
+            )
+            hits.append(f"LIMIT without ORDER BY on node selecting [{sel}]")
+    return hits
+
+
 def class_a_hits(sql: str, base_columns: dict[str, str]) -> list[str]:
     """Every provable integer-context decimal-literal site in the
     oracle (R1) plus every pure-DECIMAL SUM/AVG accumulation (R2).
