@@ -306,8 +306,24 @@ def main() -> int:
             with open(out_path) as f:
                 prior = json.load(f)
             for k, v in prior.items():
-                if k.startswith(("envelope", "driver_run", "note")) and k not in local:
+                if (
+                    k.startswith(("envelope", "driver_run", "note", "prior_run"))
+                    and k not in local
+                ):
                     local[k] = v
+            # A differing top-level run about to be displaced (e.g. the
+            # driver re-benching into the same filename) is stashed
+            # once rather than destroyed; setdefault keeps the file
+            # bounded if bench runs many times.
+            if prior.get("value") not in (None, local.get("value")):
+                local.setdefault(
+                    "prior_run_same_file",
+                    {
+                        k: prior.get(k)
+                        for k in ("value", "queries", "n_runs", "sf")
+                        if k in prior
+                    },
+                )
         except (OSError, ValueError):
             pass
         with open(out_path, "w") as f:
