@@ -132,6 +132,103 @@ def _fingerprints_from_source(src: str) -> dict[str, str]:
     return out
 
 
+def _oracle_refs_from_source(src: str) -> dict[str, str]:
+    """name -> referenced donor key, for registrations whose oracle
+    argument is ``ORACLES["donor"]`` instead of a literal (oracle
+    SHARING: the effective oracle changes whenever the donor's does,
+    with no textual change at the sharing site)."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        for dec in node.decorator_list:
+            if not (
+                isinstance(dec, ast.Call)
+                and isinstance(dec.func, ast.Name)
+                and dec.func.id == "query"
+                and dec.args
+                and isinstance(dec.args[0], ast.Constant)
+            ):
+                continue
+            if len(dec.args) > 1 and (
+                isinstance(dec.args[1], ast.Subscript)
+                and isinstance(dec.args[1].value, ast.Name)
+                and dec.args[1].value.id == "ORACLES"
+                and isinstance(dec.args[1].slice, ast.Constant)
+            ):
+                out[dec.args[0].value] = dec.args[1].slice.value
+    return out
+
+
+def _oracle_literals_from_source(src: str) -> dict[str, str]:
+    """name -> literal oracle text where the decorator's 2nd arg is a
+    plain string constant (f-strings etc. are already covered by the
+    function-node dump)."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        for dec in node.decorator_list:
+            if (
+                isinstance(dec, ast.Call)
+                and isinstance(dec.func, ast.Name)
+                and dec.func.id == "query"
+                and dec.args
+                and isinstance(dec.args[0], ast.Constant)
+                and len(dec.args) > 1
+                and isinstance(dec.args[1], ast.Constant)
+                and isinstance(dec.args[1].value, str)
+            ):
+                out[dec.args[0].value] = dec.args[1].value
+    return out
+
+
+def _tree_fingerprints(files: dict[str, str]) -> dict[str, tuple[str, str]]:
+    """Whole-tree fingerprints: name -> (relpath, fingerprint), with
+    oracle-sharing references resolved across modules — a sharer's
+    fingerprint incorporates its donor's oracle text, so migrating
+    the donor flags the sharer too."""
+    fps: dict[str, tuple[str, str]] = {}
+    refs: dict[str, str] = {}
+    lits: dict[str, str] = {}
+    for rel, src in files.items():
+        for name, seg in _fingerprints_from_source(src).items():
+            if name:
+                fps[name] = (rel, seg)
+        refs.update(_oracle_refs_from_source(src))
+        lits.update(_oracle_literals_from_source(src))
+
+    base = dict(fps)  # pre-augmentation snapshot for donor lookups
+
+    def donor_text(key: str, depth: int = 0) -> str:
+        if depth > 4:
+            return "<ref-cycle>"
+        if key in lits:
+            return lits[key]
+        if key in refs:
+            return donor_text(refs[key], depth + 1)
+        if key in base:
+            # donor's oracle is an f-string/expression: its text lives
+            # inside the donor's own base fingerprint (function dump +
+            # referenced module constants), so use that wholesale
+            return base[key][1]
+        return "<donor-unknown>"
+
+    for name, key in refs.items():
+        if name in fps:
+            rel, seg = fps[name]
+            fps[name] = (rel, seg + f"\noracle_ref[{key}]={donor_text(key)}")
+    return fps
+
+
 @functools.lru_cache(maxsize=None)
 def _file_at(commit: str, relpath: str) -> str | None:
     try:
@@ -141,9 +238,21 @@ def _file_at(commit: str, relpath: str) -> str | None:
 
 
 @functools.lru_cache(maxsize=None)
-def _fingerprints_at(commit: str, relpath: str) -> dict[str, str] | None:
-    src = _file_at(commit, relpath)
-    return None if src is None else _fingerprints_from_source(src)
+def _plans_files_at(commit: str) -> dict[str, str]:
+    rels = [
+        p
+        for p in _git(
+            "ls-tree", "-r", "--name-only", commit,
+            "--", "whisky_wine_etl_spark/plans",
+        ).splitlines()
+        if p.endswith(".py")
+    ]
+    return {rel: src for rel in rels if (src := _file_at(commit, rel)) is not None}
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_fingerprints_at(commit: str) -> dict[str, tuple[str, str]]:
+    return _tree_fingerprints(_plans_files_at(commit))
 
 
 def _latest_green_rounds() -> dict[str, int]:
@@ -181,15 +290,11 @@ def test_changed_since_green_names_are_in_recheck_tier():
 
     # current fingerprints from the WORKING TREE (not HEAD): an edit
     # must enter the tier in the same change set, before any commit
-    current: dict[str, tuple[str, str]] = {}  # name -> (file, fingerprint)
-    for path in sorted(glob.glob(os.path.join(PLANS_DIR, "*.py"))):
-        with open(path) as f:
-            src = f.read()
-        fps = _fingerprints_from_source(src)
-        rel = os.path.relpath(path, REPO)
-        for name, seg in fps.items():
-            if name:
-                current[name] = (rel, seg)
+    working_files = {
+        os.path.relpath(path, REPO): open(path).read()
+        for path in sorted(glob.glob(os.path.join(PLANS_DIR, "*.py")))
+    }
+    current = _tree_fingerprints(working_files)
 
     greens = _latest_green_rounds()
     from whisky_wine_etl_spark import plans
@@ -197,6 +302,7 @@ def test_changed_since_green_names_are_in_recheck_tier():
     plans.load_all()
 
     missing_from_tier: dict[str, str] = {}
+    stale_in_tier: dict[str, str] = {}
     for name, round_no in sorted(greens.items()):
         if name not in plans.QUERIES:
             continue  # renamed/retired registration
@@ -204,18 +310,16 @@ def test_changed_since_green_names_are_in_recheck_tier():
         assert commit, f"no commit found for CORRECTNESS round {round_no}"
         if name in current:
             rel, seg = current[name]
-            old = _fingerprints_at(commit, rel)
-            if old is None:
+            old = _tree_fingerprints_at(commit)
+            if name in old:
+                changed = seg != old[name][1]
+            elif _file_at(commit, rel) is None:
                 # module moved since the green round: treat as changed
                 changed = True
-            elif name in old:
-                changed = seg != old[name]
             else:
                 # historical file predates static extraction for this
                 # name (or used dynamic registration): whole-file text
-                changed = _file_at(commit, rel) != open(
-                    os.path.join(REPO, rel)
-                ).read()
+                changed = _file_at(commit, rel) != working_files[rel]
         else:
             # dynamically-registered name (round9a register()): find
             # its module by text search, whole-file comparison
@@ -231,8 +335,20 @@ def test_changed_since_green_names_are_in_recheck_tier():
                     changed = True
         if changed and name not in entry._RECHECK_FIRST:
             missing_from_tier[name] = f"changed since green r{round_no}"
+        elif not changed and name in entry._RECHECK_FIRST:
+            # Stale entry: a NEW green row landed after the change (or
+            # the change was reverted), so keeping it in the tier only
+            # wastes driver slots that unverified/real-recheck names
+            # need. This fires at the next round's open, right after
+            # the driver's CORRECTNESS file re-greens the tier —
+            # delete the drained names from _RECHECK_FIRST then.
+            stale_in_tier[name] = f"unchanged since green r{round_no}"
 
     assert missing_from_tier == {}, (
         "queries changed since their green CORRECTNESS row but OMITTED "
         f"from _RECHECK_FIRST: {missing_from_tier}"
+    )
+    assert stale_in_tier == {}, (
+        "drained recheck names still occupying tier slots — delete "
+        f"from _RECHECK_FIRST: {sorted(stale_in_tier)}"
     )
