@@ -194,6 +194,40 @@ HEADLINE = [
 ]
 
 
+def _merge_prior_artifact(local: dict, prior: dict) -> None:
+    """Merge a to-be-overwritten BENCH_LOCAL artifact into the new one.
+
+    Two obligations (VERDICT r8 item 5 / ADVICE r9 item 3): (a) any
+    envelope_/driver_run_/note/prior_run-prefixed key in the old file
+    survives the rewrite (the driver benches the PREVIOUS round's tree
+    into NEXT round's filename — that cross-box datapoint must not be
+    destroyed); (b) a differing top-level run about to be displaced is
+    stashed into a bounded newest-first list (`prior_runs_same_file`,
+    deduped by value, capped at 5) — a single setdefault slot kept only
+    the FIRST displaced run, so a third bench run destroyed the
+    second's numbers."""
+    for k, v in prior.items():
+        if (
+            k.startswith(("envelope", "driver_run", "note", "prior_run"))
+            and k not in local
+        ):
+            local[k] = v
+    if prior.get("value") not in (None, local.get("value")):
+        stash = list(prior.get("prior_runs_same_file") or [])
+        legacy = prior.get("prior_run_same_file")
+        if legacy and legacy not in stash:
+            stash.append(legacy)
+        displaced = {
+            k: prior.get(k)
+            for k in ("value", "queries", "n_runs", "sf")
+            if k in prior
+        }
+        if all(s.get("value") != displaced.get("value") for s in stash):
+            stash.insert(0, displaced)
+        local["prior_runs_same_file"] = stash[:5]
+        local.pop("prior_run_same_file", None)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -296,34 +330,13 @@ def main() -> int:
             n_round = (max(rounds) + 1) if rounds else 0
         local = dict(payload)
         local["samples"] = {k: [round(x, 3) for x in v] for k, v in samples.items()}
-        # Preserve envelope fields from an existing artifact (VERDICT
-        # r8 item 5): the driver benches the PREVIOUS round's tree into
-        # NEXT round's filename, so a plain overwrite would destroy
-        # that cross-box datapoint. Any key prefixed envelope_/
-        # driver_run_/note carried in the old file survives the rewrite.
+        # Envelope preservation + displaced-run stash: see
+        # _merge_prior_artifact's docstring.
         out_path = os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json")
         try:
             with open(out_path) as f:
                 prior = json.load(f)
-            for k, v in prior.items():
-                if (
-                    k.startswith(("envelope", "driver_run", "note", "prior_run"))
-                    and k not in local
-                ):
-                    local[k] = v
-            # A differing top-level run about to be displaced (e.g. the
-            # driver re-benching into the same filename) is stashed
-            # once rather than destroyed; setdefault keeps the file
-            # bounded if bench runs many times.
-            if prior.get("value") not in (None, local.get("value")):
-                local.setdefault(
-                    "prior_run_same_file",
-                    {
-                        k: prior.get(k)
-                        for k in ("value", "queries", "n_runs", "sf")
-                        if k in prior
-                    },
-                )
+            _merge_prior_artifact(local, prior)
         except (OSError, ValueError):
             pass
         with open(out_path, "w") as f:

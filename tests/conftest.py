@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from whisky_wine_etl_spark.session import get_spark
@@ -10,7 +12,11 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
+    # SPARK_GRAFT_TEST_CPUS exists for parallelism-perturbation sweeps
+    # (e.g. the r10 salting-stability receipt reruns the suite under
+    # local[2]..local[32]); the default stays the pinned 8 threads.
+    n = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    s = get_spark(app_name="tests", cpus=n, shuffle_partitions=n)
     yield s
 
 

@@ -57,6 +57,42 @@ def test_round3_plus_queries_have_scale_docstrings():
     assert not thin, f"queries with missing/thin docstrings: {thin[:10]}"
 
 
+def test_merge_prior_artifact_keeps_every_displaced_run():
+    """ADVICE r9 item 3: the single-setdefault stash kept only the
+    FIRST displaced run — a third bench run destroyed the second's
+    top-level numbers. Simulate three successive overwrites and require
+    both earlier runs to survive (newest first), the envelope fields to
+    carry, and the legacy single-slot key to migrate into the list."""
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_merge", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    merge = mod._merge_prior_artifact
+
+    run1 = {"value": 100.0, "queries": {"a": 1}, "n_runs": 3, "sf": 0.1,
+            "envelope_box": "driver", "note": "r9 tree",
+            "prior_run_same_file": {"value": 90.0, "n_runs": 3}}
+    run2 = {"value": 110.0, "queries": {"a": 2}, "n_runs": 3, "sf": 0.1}
+    merge(run2, run1)
+    assert run2["envelope_box"] == "driver" and run2["note"] == "r9 tree"
+    stash_values = [s["value"] for s in run2["prior_runs_same_file"]]
+    assert stash_values == [100.0, 90.0], "legacy slot must migrate"
+    assert "prior_run_same_file" not in run2
+
+    run3 = {"value": 120.0, "queries": {"a": 3}, "n_runs": 3, "sf": 0.1}
+    merge(run3, run2)
+    stash_values = [s["value"] for s in run3["prior_runs_same_file"]]
+    assert stash_values == [110.0, 100.0, 90.0], (
+        "a third run must not destroy the second's numbers"
+    )
+    # idempotence: re-merging an identical value neither duplicates nor
+    # stashes
+    run3b = {"value": 120.0, "queries": {"a": 3}, "n_runs": 3, "sf": 0.1}
+    merge(run3b, run3)
+    assert [s["value"] for s in run3b["prior_runs_same_file"]] == stash_values
+
+
 def test_oracle_sql_mentions_no_engine_internals():
     """Oracle strings must be plain DuckDB SQL over the registered
     views — no Spark-only syntax that would silently never run."""

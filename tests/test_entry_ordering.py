@@ -61,6 +61,27 @@ def test_recheck_names_are_live_verified_oracled():
     assert set(tier_slots) == set(mod._RECHECK_FIRST)
 
 
+def test_recheck_literal_has_no_duplicate_names():
+    """ADVICE r9: a duplicated string in the _RECHECK_FIRST frozenset
+    literal is harmless at runtime but can silently stand in for a
+    name that was meant to be added (r9 shipped two such duplicates).
+    Parse the source literal and require every element to be unique."""
+    import ast
+
+    src = (pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py").read_text()
+    tree = ast.parse(src)
+    literals: list[str] = []
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name)
+                and node.target.id == "_RECHECK_FIRST"):
+            continue
+        for const in ast.walk(node.value):
+            if isinstance(const, ast.Constant) and isinstance(const.value, str):
+                literals.append(const.value)
+    dupes = sorted({n for n in literals if literals.count(n) > 1})
+    assert not dupes, f"duplicate names in _RECHECK_FIRST literal: {dupes}"
+
+
 def test_recheck_priority_names_lead_the_tier():
     """_RECHECK_PRIORITY promotes the highest-risk rechecks (check-
     class upgrades, on-half pins) to the tier's head so an oversize

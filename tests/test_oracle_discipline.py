@@ -132,12 +132,9 @@ _CLASS_A_ALLOWED: dict[str, int] = {
 }
 
 
-def test_no_integer_context_decimal_literals():
-    """The r5/r7 red mechanism, gated statically: no oracle may carry
-    a decimal literal whose every arithmetic neighbor types INTEGER
-    (R1), nor a SUM/AVG over a DECIMAL-typed expression (R2), beyond
-    the line-adjudicated allowlist above. Typing comes from DuckDB's
-    own parser + the live parquet schemas (tools/oracle_typing)."""
+def _oracle_typing_module():
+    """Load tools/oracle_typing.py by path (it is a tool script, not a
+    package module); mirrors _frag_module below (ADVICE r9 item 4)."""
     import importlib.util
     import pathlib
 
@@ -151,6 +148,16 @@ def test_no_integer_context_decimal_literals():
     )
     ot = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ot)
+    return ot
+
+
+def test_no_integer_context_decimal_literals():
+    """The r5/r7 red mechanism, gated statically: no oracle may carry
+    a decimal literal whose every arithmetic neighbor types INTEGER
+    (R1), nor a SUM/AVG over a DECIMAL-typed expression (R2), beyond
+    the line-adjudicated allowlist above. Typing comes from DuckDB's
+    own parser + the live parquet schemas (tools/oracle_typing)."""
+    ot = _oracle_typing_module()
 
     from whisky_wine_etl_spark.catalog import TABLES
 
@@ -183,19 +190,7 @@ def test_no_limit_without_order_by():
     on the same SELECT node. Boundary TIES under an existing ORDER BY
     are the empirical half, covered by the DuckDB thread-perturbation
     sweep (tools/audit_fp_stability.py and the r9 corpus-wide pass)."""
-    import importlib.util
-    import pathlib
-
-    spec = importlib.util.spec_from_file_location(
-        "oracle_typing",
-        str(
-            pathlib.Path(__file__).resolve().parents[1]
-            / "tools"
-            / "oracle_typing.py"
-        ),
-    )
-    ot = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ot)
+    ot = _oracle_typing_module()
     offenders = {
         n: hits
         for n, s in plans.ORACLES.items()

@@ -307,7 +307,15 @@ def test_changed_since_green_names_are_in_recheck_tier():
         if name not in plans.QUERIES:
             continue  # renamed/retired registration
         commit = _baseline_commit(round_no)
-        assert commit, f"no commit found for CORRECTNESS round {round_no}"
+        if commit is None:
+            # The round's CORRECTNESS artifact exists on disk but no
+            # commit introduced it yet — the exact state the driver
+            # leaves right after dropping its file (ADVICE r9 item 1).
+            # Fall back to HEAD: working-tree edits since HEAD still
+            # flag into the tier, and tier names unchanged since HEAD
+            # read stale — both actionable messages, instead of an
+            # assert that aborts the test with neither.
+            commit = _git("rev-parse", "HEAD").strip()
         if name in current:
             rel, seg = current[name]
             old = _tree_fingerprints_at(commit)
