@@ -101,6 +101,12 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "stat_mann_kendall",
     "stat_multiple_testing_bh",
     "text_keyword_rake",
+    # r10: graduated from the rows-only carve-out to a HASH-EXACT
+    # oracle by switching the registered query to quantized Lloyd's
+    # (int64-exact; see plans/round4c.py) — its green rows are all the
+    # weaker rows-only class, so the driver must re-verify under the
+    # hash gate
+    "sim_kmeans_lloyd",
 })
 
 # Within the recheck tier, these names sort FIRST (in this order).

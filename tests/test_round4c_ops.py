@@ -199,10 +199,63 @@ def test_ewma_closed_form_matches_recursion(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_kmeans_matches_numpy_lloyd(spark):
-    """Distributed Lloyd's with lowest-id init reproduces the numpy
-    reference (same init, same iteration count) assignment for
-    assignment."""
+def _numpy_quantized_lloyd(rows, k=8, n_iter=4, scale=10**6):
+    """Pure-Python/int64 reference of kmeans_fit_assign_quantized:
+    exact integer arithmetic end-to-end, so the expected assignment is
+    BIT-EXACT, not approximate."""
+    import math
+
+    ids = [r.vec_id for r in rows]
+    Xq = np.array(
+        [
+            [math.floor(float(np.float64(x)) * scale + 0.5) for x in r.embedding]
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
+    C = Xq[:k].copy()
+    for _ in range(n_iter):
+        d = ((Xq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                s = Xq[mask].sum(axis=0)
+                n = int(mask.sum())
+                C[j] = np.array(
+                    [(2 * int(sv) + n) // (2 * n) for sv in s], dtype=np.int64
+                )
+    d = ((Xq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    best = d.argmin(axis=1)
+    return {
+        i: (int(c), int(dd))
+        for i, c, dd in zip(ids, best.tolist(), d[np.arange(len(best)), best])
+    }
+
+
+def test_kmeans_quantized_matches_numpy_exactly(spark):
+    """Quantized Lloyd's is integer-exact: the distributed result must
+    equal the int64 numpy/Python reference on EVERY row — cluster AND
+    squared distance, no tolerance. (The float operator's ≈parity test
+    below still covers kmeans_fit_assign.)"""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    expect = _numpy_quantized_lloyd(rows)
+
+    got = {
+        r.vec_id: (r.cluster, r.sq_dist_q)
+        for r in plans.QUERIES["sim_kmeans_lloyd"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len({c for c, _ in got.values()}) >= 4
+
+
+def test_kmeans_float_operator_matches_numpy_lloyd(spark):
+    """Float Lloyd's (the kmeans_fit_assign operator, no longer the
+    registered query) still reproduces the float64 numpy reference to
+    >=99% — FP summation order may flip Voronoi-boundary points."""
+    from whisky_wine_etl_spark.operators.clustering import kmeans_fit_assign
+
     emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
     rows = sorted(emb.collect(), key=lambda r: r.vec_id)
     ids = np.array([r.vec_id for r in rows])
@@ -220,11 +273,9 @@ def test_kmeans_matches_numpy_lloyd(spark):
 
     got = {
         r.vec_id: r.cluster
-        for r in plans.QUERIES["sim_kmeans_lloyd"](spark, SF).collect()
+        for r in kmeans_fit_assign(emb, "vec_id", "embedding", k=k, n_iter=n_iter).collect()
     }
     mismatch = sum(1 for i in got if got[i] != expect[i])
-    # float32 Spark arrays vs float64 numpy may flip points sitting on
-    # a Voronoi boundary; require >=99% agreement and several clusters
     assert mismatch <= len(got) * 0.01, mismatch
     assert len(set(got.values())) >= 4
 

@@ -145,6 +145,162 @@ def kmeans_fit_assign(
     )
 
 
+def kmeans_assign_quantized(
+    df: DataFrame, vec_col: str, centroids: list[list[int]], scale: int
+) -> DataFrame:
+    """Integer-exact assignment twin of kmeans_assign: `vec_col` is the
+    RAW float vector; each Arrow batch quantizes it to int64 in numpy
+    (x̃ = floor(f64(x)·scale + 0.5) — the same per-element IEEE chain
+    every engine computes identically) and scores against the integer
+    `centroids`. Adds `cluster` (argmin, ties -> lower id) and
+    `sq_dist_q` (the EXACT int64 squared distance in quantized units).
+    All post-quantization arithmetic is int64 (numpy integer matmul —
+    exact, no FP rounding, order-free), so two runs — or two engines —
+    produce bit-identical results.
+
+    Overflow headroom at scale=1e6: |x̃| ≤ ~1e6 ⇒ per-dim squared term
+    ≤ ~4e12, × d=64 dims ≈ 2.6e14 ≪ 2^63; the expanded form's dot
+    products are smaller still."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.int64)  # (k, d)
+    c_sq = (cmat * cmat).sum(axis=1)  # (k,)
+    fscale = float(scale)
+
+    def _assign_dense(raw: np.ndarray) -> pd.DataFrame:
+        xs = np.floor(raw * fscale + 0.5).astype(np.int64)
+        d2 = (
+            (xs * xs).sum(axis=1, keepdims=True)
+            - 2 * (xs @ cmat.T)
+            + c_sq[None, :]
+        )
+        best = d2.argmin(axis=1)  # ties -> lower cluster id
+        return pd.DataFrame(
+            {
+                "cluster": best.astype("int32"),
+                "sq_dist_q": d2[np.arange(len(best)), best],
+            }
+        )
+
+    @pandas_udf("struct<cluster: int, sq_dist_q: long>")
+    def assign_udf(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.array([], dtype="int32"),
+                    "sq_dist_q": pd.array([], dtype="int64"),
+                }
+            )
+        d = cmat.shape[1]
+        valid = v.map(
+            lambda x: x is not None and len(x) == d
+        ).to_numpy(dtype=bool)
+        if valid.all():
+            return _assign_dense(np.array(v.to_list(), dtype=np.float64))
+        out = pd.DataFrame(
+            {
+                "cluster": pd.array([None] * len(v), dtype="Int32"),
+                "sq_dist_q": pd.array([None] * len(v), dtype="Int64"),
+            }
+        )
+        if valid.any():
+            sub = _assign_dense(np.array(v[valid].to_list(), dtype=np.float64))
+            out.loc[valid, "cluster"] = sub["cluster"].to_numpy()
+            out.loc[valid, "sq_dist_q"] = sub["sq_dist_q"].to_numpy()
+        return out
+
+    return (
+        df.withColumn("__best", assign_udf(vec_col))
+        .withColumn("cluster", F.col("__best.cluster"))
+        .withColumn("sq_dist_q", F.col("__best.sq_dist_q"))
+        .drop("__best")
+    )
+
+
+def kmeans_fit_assign_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic QUANTIZED Lloyd's k-means: bit-identical across
+    runs, thread counts, partitionings — and engines.
+
+    Float Lloyd's (kmeans_fit_assign above) is deterministic up to FP
+    summation order inside avg() partials, which is enough for a
+    recall/parity bound but not for a hash-exact oracle. This variant
+    removes the last FP degree of freedom the way production dedup/ANN
+    pipelines do (cf. the int8 ANN tier, operators/similarity.py):
+
+    - quantize per element: x̃ = FLOOR(DOUBLE(x)·scale + 0.5) as
+      int64. Each element's pipeline is single-IEEE-op-per-step
+      (float32→float64 conversion is exact; one correctly-rounded
+      multiply; one add; floor), so every engine — numpy in the
+      assignment batches, whole-stage-codegen scalar ops in the update
+      path, Python floats at init, DuckDB in the oracle — computes the
+      identical integer; no reordering exists at per-element
+      granularity. (Quantizing via an array-HOF `transform` instead
+      costs ~k interpreted ops per element per pass — measured +0.8 s
+      at sf0.1 — so quantization rides the already-vectorized tiers.)
+    - assignment: exact int64 distances (kmeans_assign_quantized),
+      ties to the lower cluster id.
+    - update: per-(cluster, dim) int64 SUM + COUNT over post-explode
+      codegen-quantized scalars — integer addition is associative, so
+      partial aggregation order is irrelevant; the new centroid is the
+      integer round-half-up c̃ = ⌊(2S+n)/(2n)⌋, computed in exact
+      Python int arithmetic on the k·d driver cells. Empty clusters
+      keep their previous centroid.
+
+    Scale contract is unchanged from the float twin: assignment is
+    map-only Arrow batches with the k×d centroid matrix in the UDF
+    closure; the update shuffle carries O(tasks·k·d) partial cells,
+    never O(rows); per-iteration driver traffic is k·d integers.
+
+    Returns (id_col, cluster, sq_dist_q) where sq_dist_q is the exact
+    squared distance in quantized units (divide by scale² for the
+    real-valued distance). Null/ragged vectors get NULL cluster."""
+    import math
+
+    df = df.select(id_col, vec_col)
+    init_rows = df.orderBy(id_col).limit(k).collect()
+    # float32 -> Python float is exact; *, + and floor are the same
+    # IEEE doubles ops the executors run
+    centroids = [
+        [math.floor(float(x) * float(scale) + 0.5) for x in r[vec_col]]
+        for r in init_rows
+    ]
+
+    for _ in range(n_iter):
+        assigned = kmeans_assign_quantized(df, vec_col, centroids, scale)
+        cells = (
+            assigned.filter(F.col("cluster").isNotNull())
+            .select("cluster", F.posexplode(vec_col).alias("dim", "xf"))
+            .select(
+                "cluster",
+                "dim",
+                F.floor(
+                    F.col("xf").cast("double") * F.lit(float(scale))
+                    + F.lit(0.5)
+                ).alias("x"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in cells:
+            s, n = int(r["s"]), int(r["n"])
+            # round-half-up(S/n) for either sign via floor division
+            new_c[r["cluster"]][r["dim"]] = (2 * s + n) // (2 * n)
+        centroids = new_c
+
+    return kmeans_assign_quantized(df, vec_col, centroids, scale).select(
+        id_col, "cluster", "sq_dist_q"
+    )
+
+
 def pca_project(
     df: DataFrame,
     id_col: str,

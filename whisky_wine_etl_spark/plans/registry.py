@@ -58,9 +58,13 @@ ROWS_ONLY_CARVE_OUTS: frozenset[str] = frozenset(
         "sim_topk_lsh",
         # sample-trained k-means index families — FP-iteration order
         # in centroid training is engine-specific; recall/variance
-        # tests vs exact twins bound them
+        # tests vs exact twins bound them.
+        # sim_kmeans_lloyd graduated OUT of this set in r10: the
+        # registered query is now QUANTIZED Lloyd's (int64-exact
+        # distances/sums, integer round-half-up centroids), so there
+        # is no FP aggregation order left and an unrolled DuckDB twin
+        # is hash-exact (see plans/round4c.py:_kmeans_quant_oracle).
         "dedup_semantic",
-        "sim_kmeans_lloyd",
         "sim_pca_project",
         "sim_topk_ivf",
         "sim_topk_mips",

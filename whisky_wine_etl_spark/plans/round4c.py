@@ -371,22 +371,128 @@ def ts_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Distributed Lloyd's k-means — iterative clustering where every
 # assignment and centroid update runs on the executors; per-iteration
-# driver traffic is the k×d centroid matrix only. Rows-only driver
-# check (iterative FP, like pagerank); numpy parity is pinned in
-# tests/test_round4c_ops.py.
+# driver traffic is the k×d centroid matrix only. Graduated in r10
+# from the rows-only carve-out to a HASH-EXACT oracle by quantizing
+# (the int8-ANN trick): all arithmetic is int64, so there is no FP
+# summation order left for engines to disagree on. The float-Lloyd's
+# operator (kmeans_fit_assign) remains for callers that want raw-FP
+# centroids; its numpy parity stays pinned in tests/test_round4c_ops.
 # ---------------------------------------------------------------------------
 
 
-@query("sim_kmeans_lloyd")
+def _kmeans_quant_oracle(k: int, n_iter: int, scale: int) -> str:
+    """Unrolled DuckDB twin of kmeans_fit_assign_quantized. Exactness
+    argument (why this can be a hash oracle when float Lloyd's can't):
+
+    - quantization: CAST(FLOOR(CAST(x AS DOUBLE)*scale + 0.5) AS
+      BIGINT) is a per-element chain of individually-deterministic
+      IEEE ops (exact f32→f64 widening, one correctly-rounded multiply
+      and add, exact floor) — identical in Spark and DuckDB, with no
+      aggregation order anywhere.
+    - distances and sums are integer (DuckDB HUGEINT / Spark int64):
+      associative, order-free; ties break to the lower cluster id on
+      both sides (np.argmin first-match == ROW_NUMBER ORDER BY d2,
+      cluster).
+    - centroid update c̃ = round-half-up(S/n) = FLOOR((2S+n)/(2n)):
+      computed in exact Python ints on the Spark side; here via DOUBLE
+      division + FLOOR, exact because |2S+n| ≤ ~2e10 and 2n ≤ ~1e5 are
+      both exactly representable, the quotient is correctly rounded to
+      ≤6e-11 absolute error, and any non-integer true quotient is
+      ≥ 1/(2n) ≥ 5e-6 away from an integer — so FLOOR never straddles.
+      (DuckDB's integer // truncates toward zero, hence the DOUBLE
+      form for negative sums.)"""
+    parts = [
+        f"""
+WITH qv AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings
+),
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT i.cluster, q.dim, q.x AS c FROM init i JOIN qv q USING (vec_id))"""
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cluster
+),
+a{i} AS (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM d{i})
+  WHERE rk = 1
+),
+s{i} AS (
+  SELECT a.cluster, q.dim, SUM(q.x) AS s, COUNT(*) AS n
+  FROM a{i} a JOIN qv q USING (vec_id)
+  GROUP BY a.cluster, q.dim
+),
+c{i} AS (
+  SELECT p.cluster, p.dim,
+         COALESCE(
+           CAST(FLOOR((2 * CAST(s.s AS DOUBLE) + s.n)
+                      / (2 * CAST(s.n AS DOUBLE))) AS BIGINT),
+           p.c) AS c
+  FROM {prev} p LEFT JOIN s{i} s USING (cluster, dim)
+)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f""",
+dfin AS (
+  SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cluster
+)
+SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS sq_dist_q
+FROM (SELECT vec_id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cluster) AS rk
+      FROM dfin)
+WHERE rk = 1"""
+    )
+    return "".join(parts)
+
+
+_KMEANS_QUANT_ORACLE = _kmeans_quant_oracle(k=8, n_iter=4, scale=1_000_000)
+
+
+@query("sim_kmeans_lloyd", _KMEANS_QUANT_ORACLE)
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=8 Lloyd's over embeddings: deterministic lowest-vec_id init,
-    4 fixed update rounds (see operators/clustering.py for the scale
-    contract: map-only assignment via literal centroids, centroid
-    update as a partial-aggregated (cluster, dim) groupBy)."""
-    from whisky_wine_etl_spark.operators.clustering import kmeans_fit_assign
+    """k=8 quantized Lloyd's over embeddings: deterministic
+    lowest-vec_id init, 4 fixed update rounds, integer-exact output
+    (vec_id, cluster, sq_dist_q at scale 1e6 — divide by 1e12 for the
+    real-valued squared distance).
+
+    See operators/clustering.py:kmeans_fit_assign_quantized for the
+    scale contract (map-only Arrow assignment, O(tasks·k·d) update
+    shuffle, k·d-int driver traffic per round) and the bit-identity
+    argument that lets this iterative clusterer carry a HASH-EXACT
+    DuckDB oracle (_kmeans_quant_oracle) where float Lloyd's was a
+    rows-only carve-out: quantize once per element (no aggregation
+    order in a per-element IEEE chain), then every distance, sum, and
+    centroid update is exact integer arithmetic — associative,
+    thread-count- and engine-independent."""
+    from whisky_wine_etl_spark.operators.clustering import (
+        kmeans_fit_assign_quantized,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return kmeans_fit_assign(emb, "vec_id", "embedding", k=8, n_iter=4)
+    return kmeans_fit_assign_quantized(
+        emb, "vec_id", "embedding", k=8, n_iter=4, scale=1_000_000
+    )
 
 
 # ---------------------------------------------------------------------------
