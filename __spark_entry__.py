@@ -101,12 +101,18 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "stat_mann_kendall",
     "stat_multiple_testing_bh",
     "text_keyword_rake",
-    # r10: graduated from the rows-only carve-out to a HASH-EXACT
-    # oracle by switching the registered query to quantized Lloyd's
-    # (int64-exact; see plans/round4c.py) — its green rows are all the
-    # weaker rows-only class, so the driver must re-verify under the
-    # hash gate
+    # r10: graduated from the rows-only carve-out to HASH-EXACT
+    # oracles — sim_kmeans_lloyd by switching the registered query to
+    # quantized Lloyd's (int64-exact; plans/round4c.py), the MinHash
+    # family by making its hash plumbing engine-portable (md5 + Horner
+    # mod-p; operators/dedup.py + plans/dedup.py). Their green rows
+    # are all the weaker rows-only class, so the driver must re-verify
+    # under the hash gate.
     "sim_kmeans_lloyd",
+    "dedup_minhash_lsh",
+    "dedup_clusters_lsh",
+    "dedup_canonical_summary_lsh",
+    "dedup_simhash",
 })
 
 # Within the recheck tier, these names sort FIRST (in this order).

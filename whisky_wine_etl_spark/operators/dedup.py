@@ -33,6 +33,13 @@ from pyspark.sql import functions as F
 from whisky_wine_etl_spark.functions.vector import cosine
 
 MERSENNE31 = (1 << 31) - 1  # prime modulus; keeps (a*h+b) inside int64
+# Second prime + Horner bases for the engine-portable shingle hash
+# (shingle_hash_arrays): two independent mod-p Horner combines packed
+# into one 62-bit value — collision odds ~q²/2^62, and every step is
+# exact int64 arithmetic both Spark and DuckDB reproduce bit-for-bit.
+PRIME31B = 2147483629
+HORNER_B1 = 1000003
+HORNER_B2 = 999983
 
 
 def normalized_text(col) -> F.Column:
@@ -172,26 +179,59 @@ def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _horner_expr(arr: str, idx: str, n: int, p: int, b: int) -> str:
+    """SQL expr for a Horner-chain hash of `n` consecutive elements of
+    long-array `arr` starting at 1-based position `idx`, mod prime `p`
+    with base `b`: h = t₀; h = (h·b + t_{j}) mod p. Out-of-range
+    elements coalesce to 0 (short documents), matching the oracle's
+    NULL-list-index semantics. ANSI-overflow-safe: every operand of the
+    multiply is < 2³¹, so products stay < 2⁶² < int64 max."""
+    e = f"pmod(coalesce(try_element_at({arr}, {idx}), 0L), {p})"
+    for j in range(1, n):
+        e = (
+            f"pmod({e} * {b}L + "
+            f"pmod(coalesce(try_element_at({arr}, {idx} + {j}), 0L), {p}), {p})"
+        )
+    return e
+
+
 def shingle_hash_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Per-document array of distinct xxhash64'd word n-grams — a
-    NARROW transformation (no explode, no shuffle): every downstream
+    """Per-document array of distinct hashed word n-grams — a NARROW
+    transformation (no explode, no shuffle): every downstream
     MinHash/verification step works on this fixed-width long array.
-    64-bit collision odds are ~q²/2⁶⁵ for q distinct shingles
-    (negligible ≤ billions).
 
-    The n-gram hash is xxhash64 over the n TOKEN HASHES (hashed once
-    per token), not over the re-joined string — building a string per
+    ENGINE-PORTABLE since r10 (this is what lets the MinHash-LSH
+    family carry hash-exact DuckDB oracles instead of the rows-only
+    carve-out): token hash = the top 60 bits of md5 (both engines
+    implement standard MD5 and the hex→int bridge exactly), n-gram
+    hash = TWO independent Horner chains over the token hashes mod the
+    31-bit primes (MERSENNE31, PRIME31B), packed into one 62-bit long
+    (h1·2³¹ + h2 — collision odds ~q²/2⁶² for q distinct shingles).
+    All post-md5 arithmetic is exact int64 with every multiplicand
+    < 2³¹, so Spark under ANSI mode and DuckDB compute identical
+    values with no overflow and no FP anywhere.
+
+    The n-gram hash still runs over the n TOKEN HASHES (md5 once per
+    token), not over a re-joined string — building a string per
     shingle position allocates ~|doc| short strings per document and
-    was the hottest part of the pass."""
+    was the hottest part of the original xxhash64 pass."""
+    h1 = _horner_expr("__th", "i", n, MERSENNE31, HORNER_B1)
+    h2 = _horner_expr("__th", "i", n, PRIME31B, HORNER_B2)
     expr = (
         f"array_distinct(transform(sequence(1, greatest(size(__th) - {n - 1}, 1)), "
-        f"i -> xxhash64(slice(__th, i, {n}))))"
+        f"i -> {h1} * 2147483648L + {h2}))"
     )
     return (
         df.select(F.col(id_col), F.split(text_col, " ").alias("__toks"))
-        .select(F.col(id_col), F.expr("transform(__toks, t -> xxhash64(t))").alias("__th"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "transform(__toks, t -> "
+                "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+            ).alias("__th"),
+        )
         .select(F.col(id_col), F.expr(expr).alias("sh_arr"))
     )
 
@@ -205,9 +245,10 @@ def minhash_signatures(
     seed: int = 42,
     sh: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signatures: base hash = xxhash64(shingle) reduced mod
-    p, family h_i = (a_i*h + b_i) mod p; signature element i =
-    min over the doc's shingle set.
+    """MinHash signatures: base hash = the engine-portable 62-bit
+    shingle hash (shingle_hash_arrays: md5 token hashes + dual Horner
+    chains) reduced mod p, family h_i = (a_i*h + b_i) mod p; signature
+    element i = min over the doc's shingle set.
 
     Computed entirely as per-row array expressions
     (array_min ∘ transform) over shingle_hash_arrays — a NARROW map
@@ -282,17 +323,21 @@ def minhash_lsh_pairs(
     )
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, sh=sh)
     n_bands = num_hashes // rows_per_band
-    # band bucket = xxhash64 of the band's signature slice; one
-    # posexplode over a small generated array, not n_bands struct exprs.
+    # band bucket = Horner-chain hash (mod MERSENNE31) of the band's
+    # signature slice — engine-portable like the shingle hash, so the
+    # DuckDB oracle reproduces the exact candidate set; one posexplode
+    # over a small generated array, not n_bands struct exprs.
     # LOCALCHECKPOINTED: the candidate step below is a self-join —
     # unmaterialized, each side would recompute the full signature pass
     # (blocks free on GC, unlike persist — ADVICE r4).
+    band_bucket = _horner_expr(
+        "mh", f"bi * {rows_per_band} + 1", rows_per_band, MERSENNE31, HORNER_B1
+    )
     bands = sigs.select(
         id_col,
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, {n_bands - 1}), "
-                f"bi -> xxhash64(slice(mh, bi * {rows_per_band} + 1, {rows_per_band})))"
+                f"transform(sequence(0, {n_bands - 1}), bi -> {band_bucket})"
             )
         ).alias("band", "bucket"),
     ).localCheckpoint()
@@ -335,14 +380,23 @@ def minhash_lsh_pairs(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    """Weighted SimHash fingerprint: per-token xxhash64, bit j
-    contributes +count/-count by its parity; fingerprint bit j is the
-    sign. One explode + two groupBys."""
+    """Weighted SimHash fingerprint: per-token hash, bit j contributes
+    +count/-count by its parity; fingerprint bit j is the sign. One
+    explode + two groupBys.
+
+    The token hash is the engine-portable md5-top-60-bits (same bridge
+    as shingle_hash_arrays) since r10 — every downstream step is
+    integer counting, sign tests, and bit arithmetic, so the full
+    banded-Hamming pair set is bit-reproducible in DuckDB and
+    dedup_simhash carries a hash-exact oracle."""
     tok = (
         df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("th", F.xxhash64("token"))
+        .withColumn(
+            "th",
+            F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)"),
+        )
     )
     bit_sums = tok.groupBy(id_col).agg(
         *[

@@ -65,14 +65,185 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, threshold=0.5)
 
 
-@query("dedup_minhash_lsh")  # LSH recall is probabilistic → rows-only driver check
+def _dk_horner(arr: str, idx: str, n: int, p: int, b: int) -> str:
+    """DuckDB twin of operators.dedup._horner_expr: Horner-chain hash
+    of n consecutive list elements (1-based `idx`), mod prime p, base
+    b; out-of-range elements coalesce to 0. Operands are non-negative,
+    so % == pmod and the int64 arithmetic is bit-identical."""
+    e = f"(COALESCE({arr}[{idx}], 0) % {p})"
+    for j in range(1, n):
+        e = f"(({e} * {b} + (COALESCE({arr}[{idx} + {j}], 0) % {p})) % {p})"
+    return e
+
+
+def _minhash_pairs_cte(
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 48,
+    rows_per_band: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB CTE chain reproducing operators.dedup.minhash_lsh_pairs
+    EXACTLY — made possible by r10's engine-portable hash plumbing
+    (md5 token hashes + dual Horner shingle combine + Horner band
+    buckets; see shingle_hash_arrays' docstring for the bit-identity
+    argument). The (a_i, b_i) family is baked in as literal VALUES from
+    the same _hash_family(seed) the executors use. Ends with
+    `mh_pairs(doc_a, doc_b, jaccard)` — candidates from band-bucket
+    collisions, verified with exact Jaccard over the shared shingle
+    sets, filtered at the ROUNDED threshold exactly like the Spark
+    plan. NOTE: the engine constants (MERSENNE31 etc.) live in
+    operators/dedup.py — cross-module, so the recheck-derivation
+    fingerprint won't flag a change there; the 3-SF parity sweep is
+    the net (documented limitation)."""
+    p1, p2 = dd.MERSENNE31, dd.PRIME31B
+    b1, b2 = dd.HORNER_B1, dd.HORNER_B2
+    fam = dd._hash_family(num_hashes, seed)
+    fam_values = ",\n       ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(fam)
+    )
+    h1 = _dk_horner("tha", "i.i", n, p1, b1)
+    h2 = _dk_horner("tha", "i.i", n, p2, b2)
+    slots = ", ".join(
+        f"MAX(CASE WHEN hi % {rows_per_band} = {s} THEN mhv END) AS s{s}"
+        for s in range(rows_per_band)
+    )
+    bb = f"(s0 % {p1})"
+    for s in range(1, rows_per_band):
+        bb = f"(({bb} * {b1} + (s{s} % {p1})) % {p1})"
+    return f"""
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tha AS (
+  SELECT doc_id,
+         list_transform(toks,
+           t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS tha
+  FROM tk
+),
+shl AS (
+  SELECT DISTINCT doc_id, {h1} * 2147483648 + {h2} AS sh
+  FROM tha,
+       LATERAL (SELECT unnest(range(1, greatest(len(tha) - {n - 1}, 1) + 1)) AS i) i(i)
+),
+fam(hi, fa, fb) AS (
+  VALUES {fam_values}
+),
+mh AS (
+  SELECT s.doc_id, f.hi, MIN((f.fa * (s.sh % {p1}) + f.fb) % {p1}) AS mhv
+  FROM shl s CROSS JOIN fam f
+  GROUP BY s.doc_id, f.hi
+),
+bnd AS (
+  SELECT doc_id, hi // {rows_per_band} AS band, {slots}
+  FROM mh GROUP BY doc_id, hi // {rows_per_band}
+),
+buckets AS (SELECT doc_id, band, {bb} AS bucket FROM bnd),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+),
+sizes_mh AS (SELECT doc_id, COUNT(*) AS n_sh FROM shl GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shl sa ON sa.doc_id = c.doc_a
+  JOIN shl sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+mh_pairs AS (
+  SELECT doc_a, doc_b, jaccard
+  FROM (
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (za.n_sh + zb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes_mh za ON za.doc_id = i.doc_a
+    JOIN sizes_mh zb ON zb.doc_id = i.doc_b
+  )
+  WHERE jaccard >= {threshold}
+)
+"""
+
+
+_MINHASH_PAIRS_CTE = _minhash_pairs_cte()
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_MINHASH_PAIRS_CTE}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs
+""",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graduated r10 from the rows-only carve-out: with the hash
+    family engine-portable (md5 + Horner mod-p — no xxhash64, no RNG
+    at run time), the banded candidate generation AND the exact-
+    Jaccard verify are bit-reproducible in DuckDB, so the driver
+    hash-gates the full pair set instead of row counts."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, threshold=0.5)
 
 
-@query("dedup_simhash")  # banded Hamming recall is heuristic → rows-only driver check
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB twin of operators.dedup.simhash_pairs: md5-top-60-bit
+    token hashes (engine-portable), weighted bit sums, sign →
+    fingerprint, 4-chunk pigeonhole banding, exact Hamming verify —
+    integer arithmetic throughout, so bit-identical to the Spark
+    plan."""
+    s_cols = ",\n         ".join(
+        f"SUM(CASE WHEN ((th >> {j}) & 1) = 1 THEN cnt ELSE -cnt END) AS s_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    chunk_rows = ", ".join(
+        f"({i}, (simhash >> {i * chunk_bits}) & {mask})" for i in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+th AS (
+  SELECT doc_id, cnt,
+         CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT) AS th
+  FROM tok
+),
+sums AS (
+  SELECT doc_id,
+         {s_cols}
+  FROM th GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM sums),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk, c.val
+  FROM fp, LATERAL (VALUES {chunk_rows}) c(chunk, val)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graduated r10 with the MinHash family: the token hash is the
+    engine-portable md5 bridge and every downstream step (weighted bit
+    sums, sign fingerprint, chunk banding, Hamming verify) is integer
+    arithmetic, so the pair set carries a hash-exact DuckDB oracle
+    (_simhash_oracle) instead of the rows-only check."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_pairs(docs, max_hamming=3)
 
@@ -142,25 +313,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs, nodes=docs.select("doc_id"))
 
 
-@query("dedup_clusters_lsh")  # LSH pair recall probabilistic → rows-only check
+@query(
+    "dedup_clusters_lsh",
+    f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+edges1 AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs),
+edges AS (SELECT src, dst FROM edges1 UNION SELECT dst, src FROM edges1),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+""",
+)
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB clustering composition: MinHash-LSH candidate pairs
     (work ∝ bucket collisions, never all-pairs) feed the same
     connected-components step as the exact path. `dedup_clusters`
-    stays as the oracle-checked twin; tests assert cluster-set recall
+    stays as the exact-Jaccard twin; tests assert cluster-set recall
     between the two (LSH can only MERGE FEWER docs — its pair set is a
     subset of the exact pairs after the exact-Jaccard verify, so every
-    LSH cluster is a refinement of an exact cluster)."""
+    LSH cluster is a refinement of an exact cluster). Graduated r10:
+    the pair set is engine-reproducible (see dedup_minhash_lsh), and
+    connected components over a fixed edge set is deterministic, so
+    the oracle runs the same transitive closure recursively."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
     return dd.connected_components(pairs, nodes=docs.select("doc_id"))
 
 
-@query("dedup_canonical_summary_lsh")  # LSH recall probabilistic → rows-only
+@query(
+    "dedup_canonical_summary_lsh",
+    f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+edges1 AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs),
+edges AS (SELECT src, dst FROM edges1 UNION SELECT dst, src FROM edges1),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_canonical
+FROM clusters
+""",
+)
 def dedup_canonical_summary_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level dedup outcome over the LSH-fed clusters — the
     summary a 100 TB run would actually produce (same shape as the
-    oracle-checked `dedup_canonical_summary`)."""
+    exact twin `dedup_canonical_summary`). Graduated r10 with the rest
+    of the MinHash family: engine-reproducible pairs → deterministic
+    clusters → exact summary."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
     clusters = dd.connected_components(pairs, nodes=docs.select("doc_id"))

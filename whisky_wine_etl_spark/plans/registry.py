@@ -48,13 +48,18 @@ ROWS_ONLY_CARVE_OUTS: frozenset[str] = frozenset(
         "agg_approx_percentile",
         "agg_hll_partial_union",
         # LSH / probabilistic candidate generation — recall vs exact
-        # twins is asserted in tests, the candidate set itself is
-        # hash-seed-dependent
-        "dedup_canonical_summary_lsh",
-        "dedup_clusters_lsh",
+        # twins is asserted in tests; the candidate set is hash- or
+        # FP-sign-dependent. The MinHash family (dedup_minhash_lsh,
+        # dedup_clusters_lsh, dedup_canonical_summary_lsh) graduated
+        # OUT in r10: its hash plumbing became engine-portable (md5
+        # token hashes + Horner mod-p shingle/band combines — exact
+        # int64 both engines reproduce), so banded candidates + exact-
+        # Jaccard verify carry hash-exact oracles, and dedup_simhash
+        # followed (md5 token hash + integer bit arithmetic end to
+        # end). The hyperplane-LSH members below stay: their bucket
+        # ids are SIGNS of FP dot products, which no cross-engine
+        # bit-identity argument covers.
         "dedup_embedding_cosine_lsh",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
         "sim_topk_lsh",
         # sample-trained k-means index families — FP-iteration order
         # in centroid training is engine-specific; recall/variance
