@@ -113,6 +113,7 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "dedup_clusters_lsh",
     "dedup_canonical_summary_lsh",
     "dedup_simhash",
+    "dedup_semantic",
 })
 
 # Within the recheck tier, these names sort FIRST (in this order).

@@ -261,6 +261,25 @@ def kmeans_fit_assign_quantized(
     Returns (id_col, cluster, sq_dist_q) where sq_dist_q is the exact
     squared distance in quantized units (divide by scale² for the
     real-valued distance). Null/ragged vectors get NULL cluster."""
+    df = df.select(id_col, vec_col)
+    centroids = kmeans_fit_quantized(df, id_col, vec_col, k, n_iter, scale)
+    return kmeans_assign_quantized(df, vec_col, centroids, scale).select(
+        id_col, "cluster", "sq_dist_q"
+    )
+
+
+def kmeans_fit_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 4,
+    scale: int = 1_000_000,
+) -> list[list[int]]:
+    """The fit loop of kmeans_fit_assign_quantized, returning the
+    final integer centroid matrix (for callers that need the model —
+    e.g. semantic dedup's multi-probe list assignment). Deterministic
+    end to end; see kmeans_fit_assign_quantized for the argument."""
     import math
 
     df = df.select(id_col, vec_col)
@@ -295,10 +314,42 @@ def kmeans_fit_assign_quantized(
             # round-half-up(S/n) for either sign via floor division
             new_c[r["cluster"]][r["dim"]] = (2 * s + n) // (2 * n)
         centroids = new_c
+    return centroids
 
-    return kmeans_assign_quantized(df, vec_col, centroids, scale).select(
-        id_col, "cluster", "sq_dist_q"
-    )
+
+def kmeans_probe_lists_quantized(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[int]],
+    scale: int,
+    n_probe: int,
+) -> DataFrame:
+    """Multi-probe assignment against a quantized centroid matrix: adds
+    `probe_lists: array<int>` = the n_probe clusters with the smallest
+    EXACT int64 quantized distance, ties to the lower cluster id
+    (stable integer argsort — bit-identical to the oracle's
+    ROW_NUMBER() ORDER BY d2, cluster)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.int64)
+    c_sq = (cmat * cmat).sum(axis=1)
+    fscale = float(scale)
+
+    @pandas_udf("array<int>")
+    def probe_udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        raw = np.array(v.to_list(), dtype=np.float64)
+        xs = np.floor(raw * fscale + 0.5).astype(np.int64)
+        d2 = (
+            (xs * xs).sum(axis=1, keepdims=True)
+            - 2 * (xs @ cmat.T)
+            + c_sq[None, :]
+        )
+        top = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(top.astype("int32")))
+
+    return df.withColumn("probe_lists", probe_udf(vec_col))
 
 
 def pca_project(

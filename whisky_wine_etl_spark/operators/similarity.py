@@ -409,35 +409,66 @@ def semantic_dedup(
     can straddle a centroid boundary — probing p lists bounds that
     loss, traded against a p² factor on the per-list quadratic
     (recall vs the exact all-pairs twin is asserted in tests). Raise
-    n_lists with corpus growth to hold the per-list constant."""
+    n_lists with corpus growth to hold the per-list constant.
+
+    Graduated r10 to a hash-exact oracle: the coarse quantizer is now
+    DISTRIBUTED QUANTIZED Lloyd's (operators/clustering.py — integer-
+    exact, engine-reproducible) instead of the driver-sample float
+    trainer, multi-probe assignment is top-n_probe by exact int64
+    quantized distance (stable argsort, ties to the lower list id),
+    and the verify cosine is an Arrow-vectorized twin of the JVM
+    aggregate-fold (sequential-in-dimension accumulation — bit-equal;
+    see cosine_seq_udf below) with the exact twin's adjudicated
+    JVM ROUND(.,4), so every stage is either integer-exact or the
+    empirically-adjudicated rounded-cosine pattern, and DuckDB
+    reproduces the full removed→representative mapping."""
     from pyspark.sql.functions import pandas_udf
 
+    from whisky_wine_etl_spark.operators.clustering import (
+        kmeans_fit_quantized,
+        kmeans_probe_lists_quantized,
+    )
     from whisky_wine_etl_spark.operators.dedup import connected_components
 
-    df = df.where(F.col(vec_col).isNotNull())
-    cmat = _train_centroid_matrix(df, n_lists, kmeans_iters, vec_col, id_col)
-
-    @pandas_udf("array<int>")
-    def assign_udf(v: pd.Series) -> pd.Series:
-        xs = _mat(v, cmat.shape[1])
-        xn = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
-        s = xn @ cmat.T
-        top = np.argsort(-s, axis=1, kind="stable")[:, :n_probe] + 1
-        return pd.Series(list(top.astype("int32")))
-
     @pandas_udf("double")
-    def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def cosine_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        """Arrow-vectorized cosine that is BIT-IDENTICAL to the JVM
+        zip_with/aggregate fold (functions/vector.py): the accumulator
+        loops dimensions in ascending order (vectorized across the
+        batch, sequential in j), so each pair sees the exact IEEE op
+        sequence acc = (acc + x_j·y_j) the fold and the oracle's
+        in-order SUM produce — einsum/ndarray.sum would use pairwise
+        summation and drift in the last ulp. Returns the RAW double;
+        rounding stays JVM-side (F.round) so the half-up semantics
+        match the exact twin's adjudicated pattern."""
         if len(a) == 0:  # empty Arrow batch (ADVICE r4)
             return pd.Series([], dtype="float64")
         xs = np.array(a.to_list(), dtype=np.float64)
         ys = np.array(b.to_list(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", xs, ys)
-        den = np.maximum(np.linalg.norm(xs, axis=1) * np.linalg.norm(ys, axis=1), 1e-12)
-        return pd.Series(np.round(num / den, 6))
+        num = np.zeros(len(xs))
+        na = np.zeros(len(xs))
+        nb = np.zeros(len(xs))
+        for j in range(xs.shape[1]):
+            num += xs[:, j] * ys[:, j]
+            na += xs[:, j] * xs[:, j]
+            nb += ys[:, j] * ys[:, j]
+        return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+
+    df = df.where(F.col(vec_col).isNotNull())
+    scale = 1_000_000
+    centroids = kmeans_fit_quantized(
+        df, id_col, vec_col, k=n_lists, n_iter=kmeans_iters, scale=scale
+    )
 
     inv = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("list_id", F.explode(assign_udf("vec")))
+        kmeans_probe_lists_quantized(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "vec",
+            centroids,
+            scale,
+            n_probe,
+        )
+        .select("id", "vec", F.explode("probe_lists").alias("list_id"))
         .persist()
     )
     a, b = inv.alias("a"), inv.alias("b")
@@ -454,7 +485,7 @@ def semantic_dedup(
     pairs = (
         cand.join(vecs.select(F.col("id").alias("vec_a"), F.col("vec").alias("va")), "vec_a")
         .join(vecs.select(F.col("id").alias("vec_b"), F.col("vec").alias("vb")), "vec_b")
-        .filter(cosine_udf(F.col("va"), F.col("vb")) >= threshold)
+        .filter(F.round(cosine_seq_udf(F.col("va"), F.col("vb")), 4) >= threshold)
         .select("vec_a", "vec_b")
     )
     comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")

@@ -418,13 +418,132 @@ def dedup_canonical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_semantic")  # k-means clustering is not SQL-expressible → rows-only
+def _semantic_oracle(
+    k: int = 16,
+    n_iter: int = 3,
+    scale: int = 1_000_000,
+    n_probe: int = 3,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB twin of operators.similarity.semantic_dedup (r10
+    graduated form): quantized Lloyd's coarse quantizer (same unrolled
+    integer-exact CTE shape as plans/round4c._kmeans_quant_oracle —
+    see there for the bit-identity argument), top-n_probe list
+    assignment by exact int64 distance with ties to the lower list,
+    in-list candidate pairs, the exact twin's LATERAL-unnest cosine
+    ROUND(.,4) verify, recursive-CTE connected components over the
+    over-threshold pairs, min-id representative."""
+    parts = [
+        f"""
+WITH RECURSIVE qv AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings
+),
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT i.cluster, q.dim, q.x AS c FROM init i JOIN qv q USING (vec_id))"""
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cluster
+),
+a{i} AS (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM d{i})
+  WHERE rk = 1
+),
+s{i} AS (
+  SELECT a.cluster, q.dim, SUM(q.x) AS s, COUNT(*) AS n
+  FROM a{i} a JOIN qv q USING (vec_id)
+  GROUP BY a.cluster, q.dim
+),
+c{i} AS (
+  SELECT p.cluster, p.dim,
+         COALESCE(
+           CAST(FLOOR((2 * CAST(s.s AS DOUBLE) + s.n)
+                      / (2 * CAST(s.n AS DOUBLE))) AS BIGINT),
+           p.c) AS c
+  FROM {prev} p LEFT JOIN s{i} s USING (cluster, dim)
+)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f""",
+dfin AS (
+  SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cluster
+),
+inv AS (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM dfin)
+  WHERE rk <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM inv a JOIN inv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+cosp AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(SUM(CAST(ea.embedding[t.i] AS DOUBLE)
+                   * CAST(eb.embedding[t.i] AS DOUBLE))
+               / (SQRT(SUM(CAST(ea.embedding[t.i] AS DOUBLE)
+                           * CAST(ea.embedding[t.i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(eb.embedding[t.i] AS DOUBLE)
+                             * CAST(eb.embedding[t.i] AS DOUBLE)))),
+               4) AS cos_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b,
+       LATERAL (SELECT unnest(range(1, 65)) AS i) t(i)
+  GROUP BY c.vec_a, c.vec_b
+),
+edges_t AS (SELECT vec_a, vec_b FROM cosp WHERE cos_sim >= {threshold}),
+nodes AS (SELECT vec_a AS v FROM edges_t UNION SELECT vec_b FROM edges_t),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM edges_t
+          UNION SELECT vec_b, vec_a FROM edges_t),
+reach(a, b) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS vec_id, MIN(b) AS rep_id FROM reach GROUP BY a)
+SELECT vec_id, rep_id FROM comp WHERE vec_id <> rep_id"""
+    )
+    return "".join(parts)
+
+
+@query("dedup_semantic", _semantic_oracle())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: IVF-cluster the embedding space,
     find over-threshold cosine pairs WITHIN clusters only, connect
     into groups, drop all but the min-id representative. The exact
     all-pairs twin (dedup_embedding_cosine) pins recall in
-    tests/test_dedup_similarity.py."""
+    tests/test_dedup_similarity.py.
+
+    Graduated r10 from the rows-only carve-out: the coarse quantizer
+    is distributed QUANTIZED Lloyd's (integer-exact, engine-
+    reproducible — see operators/clustering.py), probe assignment is
+    exact int64 top-n, and the verify cosine is the exact twin's
+    adjudicated ROUND(.,4) fold, so the full removed→representative
+    mapping carries a hash-exact DuckDB oracle (_semantic_oracle)."""
     from whisky_wine_etl_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
