@@ -114,6 +114,7 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "dedup_canonical_summary_lsh",
     "dedup_simhash",
     "dedup_semantic",
+    "sim_topk_ivf",
 })
 
 # Within the recheck tier, these names sort FIRST (in this order).

@@ -89,6 +89,35 @@ def brute_force_topk(
     )
 
 
+def cosine_fold_udf():
+    """Arrow-vectorized cosine that is BIT-IDENTICAL to the JVM
+    zip_with/aggregate fold (functions/vector.py) and to an in-order
+    SQL SUM: the accumulator loops dimensions in ascending order
+    (vectorized across the batch, sequential in j), so each pair sees
+    the exact IEEE op sequence acc = (acc + x_j·y_j) — einsum /
+    ndarray.sum would use pairwise summation and drift in the last
+    ulp. Returns the RAW double; rounding stays JVM-side (F.round) so
+    half-up semantics match the adjudicated oracle pattern."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:  # empty Arrow batch (ADVICE r4)
+            return pd.Series([], dtype="float64")
+        xs = np.array(a.to_list(), dtype=np.float64)
+        ys = np.array(b.to_list(), dtype=np.float64)
+        num = np.zeros(len(xs))
+        na = np.zeros(len(xs))
+        nb = np.zeros(len(xs))
+        for j in range(xs.shape[1]):
+            num += xs[:, j] * ys[:, j]
+            na += xs[:, j] * xs[:, j]
+            nb += ys[:, j] * ys[:, j]
+        return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,76 +130,63 @@ def ivf_topk(
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index.
 
-    Build: centroids are trained on the driver with numpy Lloyd
-    iterations over a deterministic bounded SAMPLE (lowest-id vectors)
-    — the standard IVF recipe (FAISS trains on a sample too): training
-    touches O(sample·dim) values regardless of corpus size, so the
-    cluster never runs a per-iteration distributed pass. Search: one
+    Build: the coarse quantizer is DISTRIBUTED QUANTIZED Lloyd's
+    (operators/clustering.py — integer-exact, engine-reproducible;
+    r10, replacing the driver-sample float trainer). Search: one
     distributed scan assigns every corpus vector to its nearest
-    centroid (a pure narrow expression over broadcast-as-literal
-    centroids); each query probes its `n_probe` nearest centroids and
-    re-ranks exactly within those lists only.
+    centroid by exact int64 quantized distance (ties to the lower
+    list); each query probes its `n_probe` nearest centroids (exact
+    stable top-n) and re-ranks exactly within those lists only.
 
-    Scale shape: centroids are O(n_lists·dim) — shipped in the UDF
-    closure (KBs); the corpus is scanned ONCE; a query touches
-    ~n_probe/n_lists of the corpus. No quadratic stage anywhere.
+    Scale shape: centroids are O(n_lists·dim) ints — shipped in the
+    UDF closures (KBs); the corpus is scanned once per Lloyd round
+    plus once for assignment; a query touches ~n_probe/n_lists of the
+    corpus. No quadratic stage anywhere.
 
-    Scoring runs in Arrow-vectorized pandas UDFs (numpy matmul per
-    batch), NOT higher-order-function expressions: HOF lambdas are
-    evaluated interpreted per element on the JVM, and measured ~3-5 s
-    per scan at a few thousand rows×16 centroids×64 dims, vs
-    milliseconds for the same math as one BLAS call per Arrow batch.
-    Dense linear algebra is the one hot path where Python beats
-    unvectorized JVM expression evaluation by an order of magnitude —
-    exactly the carve-out the Pandas-UDF policy exists for."""
-    from pyspark.sql.functions import pandas_udf
+    Scoring runs in Arrow-vectorized pandas UDFs (numpy per batch),
+    NOT higher-order-function expressions: HOF lambdas are evaluated
+    interpreted per element on the JVM, and measured ~3-5 s per scan
+    at a few thousand rows×16 centroids×64 dims, vs milliseconds for
+    the same math per Arrow batch. The re-rank cosine is the
+    fold-order-exact cosine_fold_udf + JVM ROUND(.,6), so the whole
+    pipeline — lists, probes, scores, ranks — is bit-reproducible in
+    DuckDB and the query carries a hash-exact oracle (r10 graduation;
+    see plans/extensions.py)."""
+    from whisky_wine_etl_spark.operators.clustering import (
+        kmeans_assign_quantized,
+        kmeans_fit_quantized,
+        kmeans_probe_lists_quantized,
+    )
 
     corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    scale = 1_000_000
+    cent = kmeans_fit_quantized(
+        corpus, id_col, vec_col, k=n_lists, n_iter=kmeans_iters, scale=scale
+    )
 
-    # Normalized centroid matrix captured in the UDF closures —
-    # O(n_lists·dim) doubles, serialized once per executor.
-    cmat = _train_centroid_matrix(corpus, n_lists, kmeans_iters, vec_col, id_col)
-
-    def _centroid_sims(v: pd.Series) -> np.ndarray:
-        xs = _mat(v, cmat.shape[1])
-        xn = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
-        return xn @ cmat.T  # (batch, n_lists)
-
-    @pandas_udf("int")
-    def assign_udf(v: pd.Series) -> pd.Series:
-        s = _centroid_sims(v)
-        # argmax cosine, ties toward the HIGHER list id (matches the
-        # driver-side training assignment)
-        return pd.Series((s.shape[1] - 1) - np.argmax(s[:, ::-1], axis=1) + 1)
-
-    @pandas_udf("array<int>")
-    def probe_udf(v: pd.Series) -> pd.Series:
-        s = _centroid_sims(v)
-        top = np.argsort(-s, axis=1, kind="stable")[:, :n_probe] + 1
-        return pd.Series(list(top.astype("int32")))
-
-    @pandas_udf("double")
-    def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:  # empty Arrow batch (ADVICE r4)
-            return pd.Series([], dtype="float64")
-        xs = np.array(a.to_list(), dtype=np.float64)
-        ys = np.array(b.to_list(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", xs, ys)
-        den = np.maximum(np.linalg.norm(xs, axis=1) * np.linalg.norm(ys, axis=1), 1e-12)
-        return pd.Series(np.round(num / den, 6))
-
-    inverted = c.withColumn("list_id", assign_udf("cand_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
-    probes = q.withColumn("list_id", F.explode(probe_udf("query_vec")))
+    inverted = kmeans_assign_quantized(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")),
+        "cand_vec",
+        cent,
+        scale,
+    ).select("cand_id", "cand_vec", F.col("cluster").alias("list_id"))
+    probes = kmeans_probe_lists_quantized(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")),
+        "query_vec",
+        cent,
+        scale,
+        n_probe,
+    ).select("query_id", "query_vec", F.explode("probe_lists").alias("list_id"))
     scored = (
         inverted.join(F.broadcast(probes), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine_udf(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+            F.round(
+                cosine_fold_udf()(F.col("query_vec"), F.col("cand_vec")), 6
+            ).alias("cos_sim"),
         )
         # no distinct() needed: a candidate lives in exactly one list
         # and probes emits distinct (query, list) pairs, so the join
@@ -418,41 +434,17 @@ def semantic_dedup(
     quantized distance (stable argsort, ties to the lower list id),
     and the verify cosine is an Arrow-vectorized twin of the JVM
     aggregate-fold (sequential-in-dimension accumulation — bit-equal;
-    see cosine_seq_udf below) with the exact twin's adjudicated
+    see cosine_fold_udf) with the exact twin's adjudicated
     JVM ROUND(.,4), so every stage is either integer-exact or the
     empirically-adjudicated rounded-cosine pattern, and DuckDB
     reproduces the full removed→representative mapping."""
-    from pyspark.sql.functions import pandas_udf
-
     from whisky_wine_etl_spark.operators.clustering import (
         kmeans_fit_quantized,
         kmeans_probe_lists_quantized,
     )
     from whisky_wine_etl_spark.operators.dedup import connected_components
 
-    @pandas_udf("double")
-    def cosine_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        """Arrow-vectorized cosine that is BIT-IDENTICAL to the JVM
-        zip_with/aggregate fold (functions/vector.py): the accumulator
-        loops dimensions in ascending order (vectorized across the
-        batch, sequential in j), so each pair sees the exact IEEE op
-        sequence acc = (acc + x_j·y_j) the fold and the oracle's
-        in-order SUM produce — einsum/ndarray.sum would use pairwise
-        summation and drift in the last ulp. Returns the RAW double;
-        rounding stays JVM-side (F.round) so the half-up semantics
-        match the exact twin's adjudicated pattern."""
-        if len(a) == 0:  # empty Arrow batch (ADVICE r4)
-            return pd.Series([], dtype="float64")
-        xs = np.array(a.to_list(), dtype=np.float64)
-        ys = np.array(b.to_list(), dtype=np.float64)
-        num = np.zeros(len(xs))
-        na = np.zeros(len(xs))
-        nb = np.zeros(len(xs))
-        for j in range(xs.shape[1]):
-            num += xs[:, j] * ys[:, j]
-            na += xs[:, j] * xs[:, j]
-            nb += ys[:, j] * ys[:, j]
-        return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+    cosine_seq_udf = cosine_fold_udf()
 
     df = df.where(F.col(vec_col).isNotNull())
     scale = 1_000_000

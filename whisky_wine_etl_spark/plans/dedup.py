@@ -418,24 +418,18 @@ def dedup_canonical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_oracle(
-    k: int = 16,
-    n_iter: int = 3,
-    scale: int = 1_000_000,
-    n_probe: int = 3,
-    threshold: float = 0.4,
-) -> str:
-    """DuckDB twin of operators.similarity.semantic_dedup (r10
-    graduated form): quantized Lloyd's coarse quantizer (same unrolled
-    integer-exact CTE shape as plans/round4c._kmeans_quant_oracle —
-    see there for the bit-identity argument), top-n_probe list
-    assignment by exact int64 distance with ties to the lower list,
-    in-list candidate pairs, the exact twin's LATERAL-unnest cosine
-    ROUND(.,4) verify, recursive-CTE connected components over the
-    over-threshold pairs, min-id representative."""
+def _quant_kmeans_cte(k: int, n_iter: int, scale: int) -> str:
+    """CTE chain (no WITH keyword) for quantized Lloyd's over the
+    embeddings table, ending in `dfin(vec_id, cluster, d2)` — the
+    exact int64 distance of every vector to every FINAL centroid.
+    Same unrolled integer-exact shape as
+    plans/round4c._kmeans_quant_oracle (see there for the bit-identity
+    argument). Shared by _semantic_oracle here and the sim_topk_ivf
+    oracle in plans/extensions.py — a cross-module reuse the
+    recheck-derivation fingerprint does not track (documented
+    limitation; the 3-SF parity sweep is the net)."""
     parts = [
-        f"""
-WITH RECURSIVE qv AS (
+        f"""qv AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)
@@ -487,7 +481,31 @@ dfin AS (
   SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
   FROM qv q JOIN {prev} c USING (dim)
   GROUP BY q.vec_id, c.cluster
-),
+)"""
+    )
+    return "".join(parts)
+
+
+def _semantic_oracle(
+    k: int = 16,
+    n_iter: int = 3,
+    scale: int = 1_000_000,
+    n_probe: int = 3,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB twin of operators.similarity.semantic_dedup (r10
+    graduated form): quantized Lloyd's coarse quantizer
+    (_quant_kmeans_cte), top-n_probe list assignment by exact int64
+    distance with ties to the lower list, in-list candidate pairs, the
+    exact twin's LATERAL-unnest cosine ROUND(.,4) verify,
+    recursive-CTE connected components over the over-threshold pairs,
+    min-id representative."""
+    parts = [
+        "\nWITH RECURSIVE ",
+        _quant_kmeans_cte(k, n_iter, scale),
+    ]
+    parts.append(
+        f""",
 inv AS (
   SELECT vec_id, cluster
   FROM (SELECT vec_id, cluster,

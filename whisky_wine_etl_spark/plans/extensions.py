@@ -318,8 +318,71 @@ def udaf_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ivf")  # ANN recall is probabilistic → rows-only driver check
+def _ivf_oracle(
+    k: int = 5, n_lists: int = 16, n_probe: int = 4, kmeans_iters: int = 3
+) -> str:
+    """DuckDB twin of operators.similarity.ivf_topk (r10 graduated
+    form): quantized Lloyd's coarse quantizer (shared CTE builder from
+    plans/dedup — a cross-module reuse the recheck-derivation
+    fingerprint does not track; the 3-SF parity sweep is the net),
+    single-list corpus assignment + top-n_probe query probes by exact
+    int64 distance, in-list rounded-cosine re-rank with the bruteforce
+    oracle's exact formula and tie-break."""
+    from whisky_wine_etl_spark.plans.dedup import _quant_kmeans_cte
+
+    return f"""
+WITH {_quant_kmeans_cte(n_lists, kmeans_iters, 1_000_000)},
+inverted AS (
+  SELECT vec_id AS cand_id, cluster AS list_id
+  FROM (SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM dfin)
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cluster AS list_id
+  FROM (SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM dfin WHERE vec_id % 50 = 0)
+  WHERE rk <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, i.cand_id,
+         ROUND(
+           SUM(CAST(eq.embedding[t.i] AS DOUBLE)
+               * CAST(ec.embedding[t.i] AS DOUBLE))
+           / (SQRT(SUM(CAST(eq.embedding[t.i] AS DOUBLE)
+                       * CAST(eq.embedding[t.i] AS DOUBLE)))
+              * SQRT(SUM(CAST(ec.embedding[t.i] AS DOUBLE)
+                         * CAST(ec.embedding[t.i] AS DOUBLE)))),
+           6) AS cos_sim
+  FROM probes p
+  JOIN inverted i ON i.list_id = p.list_id AND i.cand_id <> p.query_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings ec ON ec.vec_id = i.cand_id,
+       LATERAL (SELECT unnest(range(1, 65)) AS i) t(i)
+  GROUP BY p.query_id, i.cand_id
+)
+SELECT query_id, cand_id, cos_sim,
+       CAST(rk AS INT) AS rk
+FROM (SELECT query_id, cand_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, cand_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
+
+
+@query("sim_topk_ivf", _ivf_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graduated r10 from the rows-only carve-out: with the coarse
+    quantizer quantized-exact and the re-rank cosine fold-order-exact
+    (operators/similarity.py:ivf_topk), the full IVF pipeline — list
+    assignment, probes, scores, ranks — is bit-reproducible in DuckDB
+    (_ivf_oracle). Recall vs sim_topk_bruteforce stays pinned in
+    tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return sim.ivf_topk(emb, queries, k=5)

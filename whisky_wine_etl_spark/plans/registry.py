@@ -69,11 +69,10 @@ ROWS_ONLY_CARVE_OUTS: frozenset[str] = frozenset(
         # distances/sums, integer round-half-up centroids), so there
         # is no FP aggregation order left and an unrolled DuckDB twin
         # is hash-exact (see plans/round4c.py:_kmeans_quant_oracle).
-        # dedup_semantic followed in the same round: quantized-Lloyd's
-        # coarse quantizer + exact int64 probe assignment + the exact
-        # twin's adjudicated ROUND(.,4) cosine verify.
+        # dedup_semantic and sim_topk_ivf followed in the same round:
+        # quantized-Lloyd's coarse quantizer + exact int64 probe
+        # assignment + the adjudicated rounded fold-order-exact cosine.
         "sim_pca_project",
-        "sim_topk_ivf",
         "sim_topk_mips",
         "sim_topk_pq",
         # ml_isotonic_calibration graduated OUT of this set in r9:
