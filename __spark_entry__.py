@@ -115,6 +115,7 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "dedup_simhash",
     "dedup_semantic",
     "sim_topk_ivf",
+    "sim_topk_pq",
 })
 
 # Within the recheck tier, these names sort FIRST (in this order).

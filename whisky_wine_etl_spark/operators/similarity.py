@@ -542,29 +542,43 @@ def _train_pq_codebooks(
     kmeans_iters: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scale: int = 1_000_000,
 ) -> np.ndarray:
     """Driver-side product-quantization codebook training (Jégou et
     al. 2011, the FAISS PQ recipe) on the same deterministic bounded
-    sample as IVF training: lowest-id vectors, L2-normalized, split
-    into `m` contiguous sub-blocks; per block, `ks` centroids from
-    numpy Lloyd iterations (init = first `ks` sample rows, argmin L2
-    assignment, ties toward the LOWER code — numpy argmin order — to
-    match the distributed assignment UDF). Returns (m, ks, dim//m)."""
+    sample as IVF training: lowest-id vectors split into `m`
+    contiguous sub-blocks; per block, `ks` centroids from Lloyd
+    iterations (init = first `ks` sample rows, argmin assignment, ties
+    toward the LOWER code). Returns an int64 (m, ks, dim//m) matrix.
+
+    QUANTIZED since r10 (the sim_topk_pq graduation): the sample is
+    floor(double(x)·scale + 0.5)-quantized and every distance, sum,
+    and round-half-up centroid update is exact integer arithmetic —
+    deterministic and reproducible in SQL, unlike the earlier
+    L2-normalized float recipe whose FP normalization/mean order was
+    engine-specific. Dropping the normalization moves ADC candidate
+    ranking from cosine-order to raw-L2-order; the exact-cosine
+    re-rank of the top n_candidates absorbs the difference (recall
+    gates in tests pin it)."""
+    import math
+
     sample = (
         corpus.orderBy(id_col)
         .limit(4096)
         .select(F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"))
         .collect()
     )
-    x = np.array([r.v for r in sample], dtype=np.float64)
-    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    dim = xn.shape[1]
+    xq = np.array(
+        [[math.floor(float(x) * float(scale) + 0.5) for x in r.v] for r in sample],
+        dtype=np.int64,
+    )
+    dim = xq.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = np.empty((m, ks, sub), dtype=np.float64)
+    books = np.empty((m, ks, sub), dtype=np.int64)
     for j in range(m):
-        blk = xn[:, j * sub : (j + 1) * sub]
+        blk = xq[:, j * sub : (j + 1) * sub]
         cent = blk[:ks].copy()
         for _ in range(kmeans_iters):
             d2 = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -572,7 +586,12 @@ def _train_pq_codebooks(
             for c in range(ks):
                 members = blk[assign == c]
                 if len(members):
-                    cent[c] = members.mean(axis=0)
+                    s = members.sum(axis=0)
+                    n = len(members)
+                    cent[c] = np.array(
+                        [(2 * int(sv) + n) // (2 * n) for sv in s],
+                        dtype=np.int64,
+                    )
         books[j] = cent
     return books
 
@@ -605,37 +624,50 @@ def pq_topk(
     Scale shape: at 100 TB the codes column IS the resident index
     (16-64x smaller than the vectors); the ADC scan reads only codes,
     and exact vectors are fetched for n_candidates·n_queries rows.
-    Vectors are L2-normalized on both sides so ADC-L2 order is
-    exactly cosine order (||a-b||^2 = 2 - 2cos)."""
+    Graduated r10 to a hash-exact oracle: codebooks, codes, and ADC
+    scores are all EXACT INT64 over floor(double(x)·1e6 + 0.5)-
+    quantized RAW vectors (see _train_pq_codebooks — the earlier
+    L2-normalization was FP and engine-specific, so candidate ranking
+    moved from cosine-order to raw-L2-order; the exact-cosine re-rank
+    of the top n_candidates absorbs it, recall-gated in tests) and the
+    final re-rank is the adjudicated JVM-fold cosine + ROUND(.,6), so
+    DuckDB reproduces the emitted rows bit-for-bit
+    (plans/round4ao.py:_pq_oracle)."""
     from pyspark.sql.functions import pandas_udf
 
     from whisky_wine_etl_spark.functions.vector import dot, norm
 
     corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
-    books = _train_pq_codebooks(corpus, m, ks, kmeans_iters, vec_col, id_col)
+    scale = 1_000_000
+    fscale = float(scale)
+    books = _train_pq_codebooks(corpus, m, ks, kmeans_iters, vec_col, id_col, scale)
     sub = books.shape[2]
 
-    def _norm_rows(v: pd.Series) -> np.ndarray:
-        xs = _mat(v, m * sub)
-        return xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+    def _quant_rows(v: pd.Series) -> np.ndarray:
+        raw = np.array(v.to_list(), dtype=np.float64)
+        return np.floor(raw * fscale + 0.5).astype(np.int64)
 
     @pandas_udf("array<int>")
     def codes_udf(v: pd.Series) -> pd.Series:
-        xn = _norm_rows(v)
-        out = np.empty((len(xn), m), dtype=np.int32)
+        if len(v) == 0:  # empty Arrow batch (ADVICE r4)
+            return pd.Series([], dtype="object")
+        xq = _quant_rows(v)
+        out = np.empty((len(xq), m), dtype=np.int32)
         for j in range(m):
-            blk = xn[:, j * sub : (j + 1) * sub]
+            blk = xq[:, j * sub : (j + 1) * sub]
             d2 = ((blk[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
             out[:, j] = np.argmin(d2, axis=1) + 1  # 1-based for element_at
         return pd.Series(list(out))
 
-    @pandas_udf("array<double>")
+    @pandas_udf("array<long>")
     def adc_table_udf(v: pd.Series) -> pd.Series:
-        qn = _norm_rows(v)
+        if len(v) == 0:  # empty Arrow batch (ADVICE r4)
+            return pd.Series([], dtype="object")
+        qn = _quant_rows(v)
         rows = []
         for q in qn:
-            tab = np.empty(m * ks, dtype=np.float64)
+            tab = np.empty(m * ks, dtype=np.int64)
             for j in range(m):
                 blk = q[j * sub : (j + 1) * sub]
                 tab[j * ks : (j + 1) * ks] = (

@@ -72,9 +72,11 @@ ROWS_ONLY_CARVE_OUTS: frozenset[str] = frozenset(
         # dedup_semantic and sim_topk_ivf followed in the same round:
         # quantized-Lloyd's coarse quantizer + exact int64 probe
         # assignment + the adjudicated rounded fold-order-exact cosine.
+        # sim_topk_pq also graduated r10: candidate selection is exact
+        # int64 (quantized vectors, integer codebooks, integer ADC);
+        # only the final re-rank uses the adjudicated rounded cosine.
         "sim_pca_project",
         "sim_topk_mips",
-        "sim_topk_pq",
         # ml_isotonic_calibration graduated OUT of this set in r9:
         # weighted-L2 isotonic regression is unique, so the minimax
         # formula over integer prefix sums is an exact SQL twin of the

@@ -341,12 +341,166 @@ def etl_incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Product-quantization ANN (rows-only: recall is measured in tests
-# against sim_topk_bruteforce, which carries the exact oracle).
+# Product-quantization ANN — graduated r10 from rows-only to a
+# hash-exact oracle: candidate selection is exact int64 end to end
+# (quantized vectors, integer codebook Lloyd's on the deterministic
+# sample, integer ADC), and only the final re-rank uses the
+# adjudicated rounded fold-cosine.
 # ---------------------------------------------------------------------------
 
 
-@query("sim_topk_pq")  # ANN recall is probabilistic → rows-only driver check
+def _pq_oracle(
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    n_candidates: int = 128,
+    kmeans_iters: int = 4,
+    scale: int = 1_000_000,
+    dim: int = 64,
+    sample_n: int = 4096,
+) -> str:
+    """DuckDB twin of operators.similarity.pq_topk (r10 graduated
+    form). Reproduces the driver-side integer codebook training
+    (per-subspace Lloyd's over the lowest-`sample_n` ids: exact int64
+    distances, ties to the lower code, round-half-up centroid updates
+    via the FLOOR(double-division) bridge — exact for |2S+n| ≤ ~4.4e9,
+    see plans/round4c._kmeans_quant_oracle for the argument), then
+    corpus codes, integer ADC scoring (m table lookups summed), top
+    n_candidates per query by (adc, cand_id), and the bruteforce-
+    formula rounded-cosine re-rank."""
+    sub = dim // m
+    parts = [
+        f"""
+WITH qv AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings
+),
+smp AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {sample_n})
+)"""
+    ]
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+        parts.append(
+            f""",
+b{j}_0 AS (
+  SELECT CAST(s.rn - 1 AS INT) AS code, q.dim, q.x AS c
+  FROM smp s JOIN qv q USING (vec_id)
+  WHERE s.rn <= {ks} AND q.dim >= {lo} AND q.dim < {hi}
+)"""
+        )
+        prev = f"b{j}_0"
+        for i in range(1, kmeans_iters + 1):
+            parts.append(
+                f""",
+d{j}_{i} AS (
+  SELECT q.vec_id, c.code, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN smp s USING (vec_id) JOIN {prev} c ON c.dim = q.dim
+  WHERE q.dim >= {lo} AND q.dim < {hi}
+  GROUP BY q.vec_id, c.code
+),
+a{j}_{i} AS (
+  SELECT vec_id, code
+  FROM (SELECT vec_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, code) AS rk
+        FROM d{j}_{i})
+  WHERE rk = 1
+),
+s{j}_{i} AS (
+  SELECT a.code, q.dim, SUM(q.x) AS s, COUNT(*) AS n
+  FROM a{j}_{i} a JOIN qv q USING (vec_id)
+  WHERE q.dim >= {lo} AND q.dim < {hi}
+  GROUP BY a.code, q.dim
+),
+b{j}_{i} AS (
+  SELECT p.code, p.dim,
+         COALESCE(
+           CAST(FLOOR((2 * CAST(s.s AS DOUBLE) + s.n)
+                      / (2 * CAST(s.n AS DOUBLE))) AS BIGINT),
+           p.c) AS c
+  FROM {prev} p LEFT JOIN s{j}_{i} s USING (code, dim)
+)"""
+            )
+            prev = f"b{j}_{i}"
+        parts.append(
+            f""",
+cd{j} AS (
+  SELECT vec_id, code
+  FROM (SELECT q.vec_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY SUM((q.x - c.c) * (q.x - c.c)),
+                                           c.code) AS rk
+        FROM qv q JOIN {prev} c ON c.dim = q.dim
+        WHERE q.dim >= {lo} AND q.dim < {hi}
+        GROUP BY q.vec_id, c.code)
+  WHERE rk = 1
+),
+qd{j} AS (
+  SELECT q.vec_id AS query_id, c.code,
+         SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c ON c.dim = q.dim
+  WHERE q.vec_id % 50 = 0 AND q.dim >= {lo} AND q.dim < {hi}
+  GROUP BY q.vec_id, c.code
+)"""
+        )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sp, code FROM cd{j}" for j in range(m)
+    )
+    qd_union = " UNION ALL ".join(
+        f"SELECT query_id, {j} AS sp, code, d2 FROM qd{j}" for j in range(m)
+    )
+    parts.append(
+        f""",
+codes_all AS ({codes_union}),
+qd_all AS ({qd_union}),
+adc AS (
+  SELECT q.query_id, c.vec_id AS cand_id, SUM(q.d2) AS adc
+  FROM codes_all c
+  JOIN qd_all q ON q.sp = c.sp AND q.code = c.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+),
+cands AS (
+  SELECT query_id, cand_id
+  FROM (SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc, cand_id) AS crk
+        FROM adc)
+  WHERE crk <= {n_candidates}
+),
+exact AS (
+  SELECT cd.query_id, cd.cand_id,
+         ROUND(
+           SUM(CAST(eq.embedding[t.i] AS DOUBLE)
+               * CAST(ec.embedding[t.i] AS DOUBLE))
+           / (SQRT(SUM(CAST(eq.embedding[t.i] AS DOUBLE)
+                       * CAST(eq.embedding[t.i] AS DOUBLE)))
+              * SQRT(SUM(CAST(ec.embedding[t.i] AS DOUBLE)
+                         * CAST(ec.embedding[t.i] AS DOUBLE)))),
+           6) AS cos_sim
+  FROM cands cd
+  JOIN embeddings eq ON eq.vec_id = cd.query_id
+  JOIN embeddings ec ON ec.vec_id = cd.cand_id,
+       LATERAL (SELECT unnest(range(1, {dim + 1})) AS i) t(i)
+  GROUP BY cd.query_id, cd.cand_id
+)
+SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (SELECT query_id, cand_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, cand_id) AS rk
+      FROM exact)
+WHERE rk <= {k}
+"""
+    )
+    return "".join(parts)
+
+
+@query("sim_topk_pq", _pq_oracle())
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via product quantization + asymmetric distance
     computation (see operators/similarity.py:pq_topk): corpus vectors
