@@ -47,6 +47,8 @@ PROBES = [
     ("source_format_fidelity_matrix", "3-format full-table write + read-back fidelity join (round 8)"),
     ("join_salted_skew", "salt-and-replicate skew join, 57% of rows on one key (r9 staged)"),
     ("stream_full_outer_attribution", "stream-stream full outer, two-sided state eviction (r9 staged)"),
+    ("dedup_minhash_lsh", "md5+Horner engine-portable MinHash bands + verify (r10 graduation)"),
+    ("dedup_simhash", "md5 token hash, weighted-bit fingerprint, chunk banding (r10 graduation)"),
 ]
 
 SCALED = {"lineitem", "orders", "part", "documents", "events"}
