@@ -6,12 +6,16 @@ Four families over `documents.text` plus one over embeddings:
 - n-gram Jaccard: exact pairwise similarity via an inverted shingle
                 index (explode → self-join on shingle → count) — the
                 oracle-checkable ground truth
-- MinHash+LSH:  deterministic (a*h+b) mod p hash family over shingle
-                xxhash64s, banded signatures, bucket join → candidate
-                pairs → exact-Jaccard verification. The 100 TB path:
+- MinHash+LSH:  deterministic (a*h+b) mod p hash family over the
+                engine-portable md5+Horner shingle hashes, banded
+                signatures, bucket join → candidate pairs →
+                exact-Jaccard verification. The 100 TB path:
                 candidates only, never all-pairs.
-- SimHash:      32-bit weighted sign fingerprint, 4×8-bit band join,
-                Hamming ≤ 3 (pigeonhole guarantees band recall)
+- SimHash:      60-bit weighted sign fingerprint, 4×15-bit band join,
+                Hamming ≤ 3 (pigeonhole guarantees band recall; 15-bit
+                chunks give 32768 buckets per band — the r10 20× probe
+                showed 8-bit chunks saturate at ~100k docs and go
+                O(N²/256))
 - embedding:    cosine ≥ τ near-dup pairs (brute force for the oracle;
                 the LSH-bucketed scale path lives in similarity.py)
 
@@ -378,7 +382,7 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
     """Weighted SimHash fingerprint: per-token hash, bit j contributes
     +count/-count by its parity; fingerprint bit j is the sign. One
@@ -420,7 +424,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4-chunk
     banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal),

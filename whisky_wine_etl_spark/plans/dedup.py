@@ -186,7 +186,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, threshold=0.5)
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     """DuckDB twin of operators.dedup.simhash_pairs: md5-top-60-bit
     token hashes (engine-portable), weighted bit sums, sign →
     fingerprint, 4-chunk pigeonhole banding, exact Hamming verify —
