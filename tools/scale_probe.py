@@ -49,9 +49,10 @@ PROBES = [
     ("stream_full_outer_attribution", "stream-stream full outer, two-sided state eviction (r9 staged)"),
     ("dedup_minhash_lsh", "md5+Horner engine-portable MinHash bands + verify (r10 graduation)"),
     ("dedup_simhash", "md5 token hash, weighted-bit fingerprint, chunk banding (r10 graduation)"),
+    ("sim_kmeans_lloyd", "distributed quantized Lloyd's fit + assign over embeddings (r10 graduation)"),
 ]
 
-SCALED = {"lineitem", "orders", "part", "documents", "events"}
+SCALED = {"lineitem", "orders", "part", "documents", "events", "embeddings"}
 
 
 def build_scaled_dir(spark, sf_dir: str, k: int) -> str:
@@ -82,6 +83,13 @@ def build_scaled_dir(spark, sf_dir: str, k: int) -> str:
         "part": [("p_partkey", part_shift)],
         "documents": [("doc_id", None)],
         "events": [("event_id", None), ("user_id", None)],
+        # embeddings copies carry identical vectors under shifted ids:
+        # the k-means family sees 20x points from the same
+        # distribution (assignment/update must stay linear); ANN
+        # probes see 20x corpus per list. (dedup_semantic is NOT
+        # probed: its per-list quadratic at fixed n_lists is the
+        # documented trade — raise n_lists with corpus growth.)
+        "embeddings": [("vec_id", None)],
     }
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
