@@ -116,6 +116,12 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "dedup_semantic",
     "sim_topk_ivf",
     "sim_topk_pq",
+    # r10: the 20x probe caught its nation-only blocking growing the
+    # link set O(N^2/25) via a degenerate 6-char name comparator;
+    # rewritten to composite (nation, name-prefix-16) blocking with a
+    # discriminating comparator (precision 0.47 -> 0.99) — the driver
+    # re-verifies the changed oracle
+    "er_fellegi_sunter",
 })
 
 # Within the recheck tier, these names sort FIRST (in this order).

@@ -50,9 +50,38 @@ PROBES = [
     ("dedup_minhash_lsh", "md5+Horner engine-portable MinHash bands + verify (r10 graduation)"),
     ("dedup_simhash", "md5 token hash, weighted-bit fingerprint, chunk banding (r10 graduation)"),
     ("sim_kmeans_lloyd", "distributed quantized Lloyd's fit + assign over embeddings (r10 graduation)"),
+    # r10 cliff-hunt extension: shapes with plausible bucket/block
+    # saturation or pair-growth risks, probed after the SimHash x116
+    # catch proved the probe finds real ones
+    ("er_fellegi_sunter", "blocked record linkage — blocking-key saturation risk"),
+    ("er_deletion_neighborhood_join", "FastSS deletion-variant equi-join"),
+    ("er_sorted_neighborhood", "rank-window blocking"),
+    ("dedup_chunk_overlap", "chunk-hash posting-list dedup"),
+    ("dedup_url_canonical", "URL canonicalize + hash dedup"),
+    ("rec_item_item_cosine", "basket item-item CF — per-basket pair growth"),
+    ("assoc_rules_lift", "basket rules on one fact shuffle"),
+    ("corpus_decontaminate", "train/eval n-gram overlap removal"),
+    ("text_inverted_index", "posting-list build (term-partitioned)"),
+    ("events_pattern_match", "ordered-seq funnel pattern count"),
+    ("privacy_tokenization_vault", "tokenize -> agg -> reidentify round-trip"),
+    ("corpus_pack_sequences", "two-pass distributed sequence packing"),
 ]
 
-SCALED = {"lineitem", "orders", "part", "documents", "events", "embeddings"}
+SCALED = {
+    "lineitem",
+    "orders",
+    "part",
+    "documents",
+    "events",
+    "embeddings",
+    # customer copies carry shifted c_custkey but orders.o_custkey is
+    # NOT re-pointed at them: the copies are order-less. That is fine
+    # for what customer scaling exists to probe — the ER self-linkage
+    # family (blocking saturation) — and deliberately leaves
+    # customer⋈orders queries alone (originals already see 20x orders
+    # via the o_orderkey-shifted copies).
+    "customer",
+}
 
 
 def build_scaled_dir(spark, sf_dir: str, k: int) -> str:
@@ -90,6 +119,7 @@ def build_scaled_dir(spark, sf_dir: str, k: int) -> str:
         # probed: its per-list quadratic at fixed n_lists is the
         # documented trade — raise n_lists with corpus growth.)
         "embeddings": [("vec_id", None)],
+        "customer": [("c_custkey", None)],
     }
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
@@ -107,6 +137,16 @@ def build_scaled_dir(spark, sf_dir: str, k: int) -> str:
             c = df
             for col, s in shifts:
                 c = c.withColumn(col, F.col(col) + F.lit(i * s))
+            if t == "customer" and i > 0:
+                # c_name is key-derived in TPC-H ('Customer#%09d'); a
+                # copy that kept the ORIGINAL name would make every
+                # name-keyed block/bucket artificially 20x hot and
+                # read as a fake quadratic (this bit the first r10
+                # er_deletion probe). Regenerate from the shifted key.
+                c = c.withColumn(
+                    "c_name",
+                    F.format_string("Customer#%09d", F.col("c_custkey")),
+                )
             parts.append(c)
         out = parts[0]
         for p in parts[1:]:

@@ -52,7 +52,15 @@ def _fs_score_sql(a: str, b: str) -> str:
     """The agreement-weighted score as portable SQL over aliased A/B
     sides; weights are inlined full-precision literals."""
     comps = [
-        f"substr({a}.c_name, 1, 6) = substr({b}.b_name, 1, 6)",
+        # r10: prefix 6 -> 16. substr(name,1,6) was DEGENERATE on this
+        # data (every TPC-H name starts 'Custom'), so the name
+        # comparator always agreed, links only required segment +
+        # balance-bucket agreement, precision was 0.47 and the LINK
+        # SET itself grew quadratically (the 20x probe read x36.7).
+        # Prefix 16 discriminates (it carries the key digits except
+        # the last two) while staying invariant under the fixture's
+        # last-char truncation, so every true match still agrees.
+        f"substr({a}.c_name, 1, 16) = substr({b}.b_name, 1, 16)",
         f"{a}.c_mktsegment = {b}.b_seg",
         # FLOOR, not a bare cast: double->int casts ROUND in DuckDB
         # but TRUNCATE in Spark; floor agrees everywhere
@@ -77,27 +85,45 @@ SELECT a.c_custkey AS a_key, b.b_key,
        ROUND({_fs_score_sql('a', 'b')}, 4) AS fs_score,
        CAST(a.c_custkey = b.b_key AS BOOLEAN) AS is_true_match
 FROM customer a JOIN b ON a.c_nationkey = b.b_nat
+                      AND substr(a.c_name, 1, 16) = substr(b.b_name, 1, 16)
 WHERE {_fs_score_sql('a', 'b')} > {_FS_THRESHOLD}
 """,
 )
 def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter linkage of customers against a deterministically
-    perturbed copy of themselves: candidate pairs come from nation
-    blocking (the same block-don't-cross-join discipline as the other
-    ER ops), each pair gets the classic sum of per-field log(m/u)
-    agreement weights (fixed m/u — the no-EM operating mode), and
-    pairs above the upper threshold are declared links. Ground truth
-    is carried in-row (is_true_match: the identity pairs the
-    perturbation started from), so precision is auditable directly
-    from the result. Scale: cost is Σ block² — blocking keys bound
-    the quadratic exactly as in er_blocked_fuzzy_pairs; scores are
-    fixed-literal arithmetic, no ln() at query time."""
+    perturbed copy of themselves: candidate pairs come from composite
+    (nation, name-prefix-16) blocking, each pair gets the classic sum
+    of per-field log(m/u) agreement weights (fixed m/u — the no-EM
+    operating mode), and pairs above the upper threshold are declared
+    links. Ground truth is carried in-row (is_true_match: the identity
+    pairs the perturbation started from), so precision is auditable
+    directly from the result.
+
+    Scale (rewritten after the r10 20× probe read ×36.7): nation-only
+    blocking has 25 FIXED blocks, so Σ block² — and, with the old
+    degenerate 6-char name comparator, the LINK SET itself — grew
+    O(N²/25). Blocking now includes the strongest comparator's key
+    (substr(name,1,16)), whose cardinality grows WITH the data, so
+    block sizes stay bounded and the emitted links are ~the true
+    matches (precision 0.47 → ~1.0 on this fixture). Blocking on the
+    name prefix drops no link the scorer would emit: with these m/u
+    weights a name-disagreeing pair scores at most 0.48 < 4.0, so
+    every over-threshold pair agrees on the prefix by arithmetic
+    necessity (the oracle uses the identical blocking, keeping the
+    equivalence checked rather than asserted)."""
     a = load_table(spark, sf_dir, "customer").alias("a")
     b = spark.sql(f"SELECT * FROM ({_FS_B_SQL.replace('customer', '{c}')})",
                   c=load_table(spark, sf_dir, "customer")).alias("b")
     score = F.expr(_fs_score_sql("a", "b"))
     return (
-        a.join(b, F.col("a.c_nationkey") == F.col("b.b_nat"))
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.b_nat"))
+            & (
+                F.expr("substr(a.c_name, 1, 16)")
+                == F.expr("substr(b.b_name, 1, 16)")
+            ),
+        )
         .filter(score > _FS_THRESHOLD)
         .select(
             F.col("a.c_custkey").alias("a_key"),
