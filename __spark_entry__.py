@@ -132,6 +132,20 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "er_golden_record",
 })
 
+# Tier members whose change the git-derived gate CANNOT see (their
+# effective oracle text depends on another module's helper — the
+# documented cross-module fingerprint limitation), hand-pinned with
+# the reason in the _RECHECK_FIRST comment. tests/
+# test_recheck_derivation.py excludes these from its stale-entry
+# assertion (it would otherwise demand deletion of exactly the names
+# its own blind spot requires adding by hand); tests/
+# test_entry_ordering.py still checks they are live, verified,
+# oracled tier members. Remove together with the tier entry once the
+# driver re-greens them.
+_RECHECK_FORCE: frozenset[str] = frozenset({
+    "er_golden_record",  # imports round4as._fs_score_sql (r10 change)
+})
+
 # Within the recheck tier, these names sort FIRST (in this order).
 # Empty when the tier fits one round's slate and no member's check
 # class changed in kind; all four r9 priority names (isotonic's new

@@ -61,6 +61,18 @@ def test_recheck_names_are_live_verified_oracled():
     assert set(tier_slots) == set(mod._RECHECK_FIRST)
 
 
+def test_recheck_force_names_are_tier_members():
+    """_RECHECK_FORCE exempts cross-module-dependency names from the
+    derivation gate's stale check — every member must still be a live
+    tier member (a force-pin outside the tier would silently exempt
+    nothing)."""
+    mod = _entry()
+    force = getattr(mod, "_RECHECK_FORCE", frozenset())
+    assert force <= mod._RECHECK_FIRST, (
+        f"force-pinned names not in the tier: {sorted(force - mod._RECHECK_FIRST)}"
+    )
+
+
 def test_recheck_literal_has_no_duplicate_names():
     """ADVICE r9: a duplicated string in the _RECHECK_FIRST frozenset
     literal is harmless at runtime but can silently stand in for a
