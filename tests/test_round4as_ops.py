@@ -20,8 +20,12 @@ def test_fs_recovers_identity_pairs_with_high_precision(spark):
     # recall: the perturbations touch at most 3 fields lightly; almost
     # every identity pair must clear the threshold
     assert len(true_links) >= 0.7 * n_cust
-    # precision: declared links are mostly the true pairs
-    assert len(true_links) / len(rows) >= 0.5
+    # precision: with the r10 discriminating prefix-16 comparator the
+    # declared links are essentially the true pairs (0.99 at sf0.1;
+    # the pre-fix degenerate 6-char comparator sat at 0.47 — this
+    # gate stops any comparator change that quietly reverts it, which
+    # is also the change that made the link set grow O(N²/25))
+    assert len(true_links) / len(rows) >= 0.9
     # every true-match score must beat the threshold by construction
     assert all(r.fs_score > 4.0 for r in rows)
 
