@@ -78,58 +78,13 @@ def _verified_names() -> set[str]:
 # lands (the derivation test flags stale entries at the next round's
 # open, once the driver's CORRECTNESS file is committed).
 _RECHECK_FIRST: frozenset[str] = frozenset({
-    # r10 state: the 17-name spill from r9's 66-name tier (the r9
-    # slate re-greened 48 + verified 2 new registrations; these 17 did
-    # not fit the 50-slot budget). All are the lowest-risk class —
-    # CAST-AS-DOUBLE oracle migrations whose values are bit-identical
-    # today by construction — locally 3-SF-parity green and FP-audited
-    # at sf0.01; the driver's green row is the contract they await.
-    "corpus_bpe_apply",
-    "corpus_mixture_temperature",
-    "diag_observe_ingest",
-    "events_attribution_models",
-    "events_dau_wau_mau",
-    "events_retention_decay_fit",
-    "geo_grid_radius_join",
-    "geo_haversine_nearest",
-    "ml_calibration_bins",
-    "ml_markov_next_event_eval",
-    "ml_roc_auc",
-    "stat_effect_sizes",
-    "stat_jackknife_ratio",
-    "stat_kendall_tau_daily",
-    "stat_mann_kendall",
-    "stat_multiple_testing_bh",
-    "text_keyword_rake",
-    # r10: graduated from the rows-only carve-out to HASH-EXACT
-    # oracles — sim_kmeans_lloyd by switching the registered query to
-    # quantized Lloyd's (int64-exact; plans/round4c.py), the MinHash
-    # family by making its hash plumbing engine-portable (md5 + Horner
-    # mod-p; operators/dedup.py + plans/dedup.py). Their green rows
-    # are all the weaker rows-only class, so the driver must re-verify
-    # under the hash gate.
-    "sim_kmeans_lloyd",
-    "dedup_minhash_lsh",
-    "dedup_clusters_lsh",
-    "dedup_canonical_summary_lsh",
-    "dedup_simhash",
-    "dedup_semantic",
-    "sim_topk_ivf",
-    "sim_topk_pq",
-    # r10: the 20x probe caught its nation-only blocking growing the
-    # link set O(N^2/25) via a degenerate 6-char name comparator;
-    # rewritten to composite (nation, name-prefix-16) blocking with a
-    # discriminating comparator (precision 0.47 -> 0.99) — the driver
-    # re-verifies the changed oracle
-    "er_fellegi_sunter",
-    # er_golden_record imports _fs_score_sql CROSS-MODULE from
-    # round4as, so the derivation gate cannot see that its effective
-    # oracle text changed with the comparator fix (the documented
-    # fingerprint limitation, caught by hand here): its output values
-    # are unchanged (true-key pairs agree on both the old and new
-    # prefix), re-verified 3-SF + perturbation-stable locally, but the
-    # driver row is the contract
-    "er_golden_record",
+    # r11 state: EMPTY. CORRECTNESS_r10 re-greened the full 27-name
+    # r10 tier hash-exact (17 CAST-migration spill + 8 rows-only->
+    # hash-exact graduations + er_fellegi_sunter's blocking fix +
+    # er_golden_record's cross-module force-pin), so every entry was
+    # drained and pruned at r11 open per the derivation gate's
+    # stale-entry assertion. Add names here the moment their Spark
+    # code or oracle changes after a green row.
 })
 
 # Tier members whose change the git-derived gate CANNOT see (their
@@ -143,7 +98,9 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
 # oracled tier members. Remove together with the tier entry once the
 # driver re-greens them.
 _RECHECK_FORCE: frozenset[str] = frozenset({
-    "er_golden_record",  # imports round4as._fs_score_sql (r10 change)
+    # r11: empty — er_golden_record's force-pin (cross-module
+    # _fs_score_sql import, r10 comparator change) re-greened in
+    # CORRECTNESS_r10 and was cleared with the tier.
 })
 
 # Within the recheck tier, these names sort FIRST (in this order).
