@@ -81,3 +81,40 @@ def test_approx_percentile_close_to_exact(spark):
         e50, e99 = exact[k]
         assert abs(a50 - e50) / e50 < 0.02, (k, a50, e50)
         assert abs(a99 - e99) / e99 < 0.02, (k, a99, e99)
+
+
+def test_hll_exact_anchor_matches_direct_distinct(spark):
+    """The anchor's two-phase form (pre-dedup to the
+    (day, event_type, user_id) grain, then count) must equal the
+    direct countDistinct — the property that makes it a trustworthy
+    hash-exact cross-check for the sketch's merge path."""
+    anchor = {
+        (r["day"], r["event_type"]): r["exact_users"]
+        for r in plans.QUERIES["agg_hll_exact_anchor"](spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    direct = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in e.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert anchor == direct
+
+
+def test_hll_merge_path_within_5pct_of_anchor(spark):
+    """Cross-check the ESTIMATOR'S MERGE PATH (hourly sketches →
+    hll_union_agg → day) against the hash-exact anchor at the same
+    grain — the driver-verifiable half of the sketch family's
+    correctness story (VERDICT r10 item 4)."""
+    approx = {
+        (r["day"].date(), r["event_type"]): r["approx_users"]
+        for r in plans.QUERIES["agg_hll_partial_union"](spark, SF).collect()
+    }
+    anchor = {
+        (r["day"], r["event_type"]): r["exact_users"]
+        for r in plans.QUERIES["agg_hll_exact_anchor"](spark, SF).collect()
+    }
+    assert set(approx) == set(anchor)
+    for k, est in approx.items():
+        assert abs(est - anchor[k]) / anchor[k] < 0.05, (k, est, anchor[k])

@@ -65,6 +65,11 @@ PROBES = [
     ("events_pattern_match", "ordered-seq funnel pattern count"),
     ("privacy_tokenization_vault", "tokenize -> agg -> reidentify round-trip"),
     ("corpus_pack_sequences", "two-pass distributed sequence packing"),
+    # r11 additions: the second streaming heavy (left-outer twin of the
+    # probed full-outer) and the new exact-distinct anchor (two-phase
+    # dedup shuffle must stay ∝ unique triples)
+    ("stream_left_outer_attribution", "stream-stream left outer, watermark state eviction (r11)"),
+    ("agg_hll_exact_anchor", "two-phase exact distinct at (day,type,user) grain (r11)"),
 ]
 
 SCALED = {

@@ -107,6 +107,44 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_hll_exact_anchor",
+    """
+WITH grain AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id FROM events
+)
+SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS exact_users
+FROM grain GROUP BY day, event_type ORDER BY day, event_type
+""",
+)
+def agg_hll_exact_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per (day, event_type) — the hash-exact
+    anchor for `agg_hll_partial_union`'s estimator merge path
+    (VERDICT r10 item 4: the sketch value itself can never carry a
+    cross-engine oracle, so the deterministic twin at the SAME grain
+    is what the driver verifies; tests assert the sketch lands within
+    5% of THIS query's output).
+
+    Scale form: exact COUNT(DISTINCT) is not mergeable from partials,
+    so the plan pre-deduplicates to the (day, event_type, user_id)
+    grain first — one hash aggregate with map-side partial dedup that
+    shrinks the shuffle to unique triples — then counts per group.
+    That is the standard two-phase exact-distinct at 100 TB: shuffle
+    volume ∝ unique (day, type, user) triples, never raw events, and
+    both aggregates are partial-agg'd by Catalyst. The HLL rollup
+    stays the right answer when even the unique-triple shuffle is too
+    big; this anchor is the audit surface that keeps it honest."""
+    e = load_table(spark, sf_dir, "events")
+    grain = e.select(
+        F.col("ts").cast("date").alias("day"), "event_type", "user_id"
+    ).distinct()
+    return (
+        grain.groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_users"))
+        .orderBy("day", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Binned range join (interval/attribution join at scale)
 # ---------------------------------------------------------------------------

@@ -42,8 +42,16 @@ ORACLES: dict[str, str] = {}
 # and keep SURVEY.md pointing HERE instead of restating the list.
 ROWS_ONLY_CARVE_OUTS: frozenset[str] = frozenset(
     {
-        # approx sketches — outputs are estimator-dependent by design;
-        # exact-twin/range tests bound them instead
+        # approx sketches — outputs are estimator-dependent by design
+        # (Spark's DataSketches HLL / KLL and DuckDB's HyperLogLog /
+        # t-digest are DIFFERENT estimators; no parameter pinning makes
+        # their register/centroid states bit-comparable), so the sketch
+        # VALUE can never carry a cross-engine oracle. The driver-
+        # verifiable half is the exact twin at the same grain:
+        # agg_hll_exact_anchor (r11) is hash-exact and pins the grain
+        # agg_hll_partial_union's merge path is tested against (<5%,
+        # tests/test_advanced.py); agg_approx_percentile is bounded
+        # vs exact percentile the same way.
         "agg_approx_count_distinct",
         "agg_approx_percentile",
         "agg_hll_partial_union",
