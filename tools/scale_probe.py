@@ -179,6 +179,9 @@ def _median_time(spark, name: str, d: str, runs: int) -> float:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # optional 3rd arg: comma-separated probe names (subset runs reuse
+    # the cached scaled dir, so a targeted re-probe is cheap)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
     plans.load_all()
     # staged-but-unregistered candidates are probed too (tools are not
@@ -191,7 +194,8 @@ def main() -> int:
     print(f"scaled dir: {scaled} (K={k})", flush=True)
     plans.QUERIES[PROBES[0][0]](spark, sf_dir).collect()  # warm session
     worst = 0.0
-    for name, why in PROBES:
+    probes = [(n, w) for n, w in PROBES if only is None or n in only]
+    for name, why in probes:
         t1 = _median_time(spark, name, sf_dir, runs)
         tk = _median_time(spark, name, scaled, runs)
         ratio = tk / t1
