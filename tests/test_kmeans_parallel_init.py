@@ -1,0 +1,72 @@
+"""k-means|| quantized seeding: shape, determinism, and seed quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from whisky_wine_etl_spark import plans
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.operators.clustering import (
+    kmeans_parallel_init_quantized,
+)
+
+plans.load_all()
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_shape_and_ranking_contract(spark):
+    rows = plans.QUERIES["sim_kmeans_parallel_init"](spark, SF).collect()
+    assert [r["seed_rank"] for r in rows] == list(range(8))
+    ids = [r["cand_id"] for r in rows]
+    assert len(set(ids)) == 8
+    weights = [r["weight"] for r in rows]
+    # ranking is (weight DESC, cand_id ASC): weights non-increasing
+    assert weights == sorted(weights, reverse=True)
+    n = load_table(spark, SF, "embeddings").count()
+    # weights over ALL candidates partition the corpus; the top-8
+    # carry most of it but never more than all of it
+    assert 0 < sum(weights) <= n
+
+
+def test_deterministic_under_partitioning(spark):
+    """Same bits regardless of input partitioning — the property the
+    hash-exact oracle rests on (no FP, no RNG, order-free integers)."""
+    emb = load_table(spark, SF, "embeddings")
+    a = kmeans_parallel_init_quantized(
+        emb.repartition(17), "vec_id", "embedding"
+    ).collect()
+    b = kmeans_parallel_init_quantized(
+        emb.coalesce(1), "vec_id", "embedding"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_seeds_spread_across_true_clusters(spark):
+    """The point of k-means|| over naive first-k init: oversampled
+    seeding lands seeds in many DISTINCT ground-truth clusters (the
+    fixture has 10 labelled Gaussians). Deterministic — no RNG — so
+    this pins behavior, not luck."""
+    seeds = plans.QUERIES["sim_kmeans_parallel_init"](spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    labels = (
+        seeds.join(emb, seeds.cand_id == emb.vec_id)
+        .select("label")
+        .collect()
+    )
+    distinct = {r["label"] for r in labels}
+    # naive lowest-vec_id-8 init covers whatever the id order gives;
+    # k-means|| must cover most of the space
+    assert len(distinct) >= 6, sorted(distinct)
+
+
+def test_candidate_growth_is_bounded(spark):
+    """Expected candidates ≈ 1 + l·rounds (Bahmani Thm 1 bound on the
+    oversampling); the bounded-collect scale contract rests on it.
+    Assert a generous multiple, not the expectation itself."""
+    emb = load_table(spark, SF, "embeddings")
+    out = kmeans_parallel_init_quantized(
+        emb, "vec_id", "embedding", k=10_000, oversample=8, rounds=3
+    )
+    n_cands = out.count()  # k larger than candidate count → all kept
+    assert n_cands <= 4 * (1 + 8 * 3), n_cands

@@ -413,3 +413,119 @@ def pca_project(
         center = float(np.dot(mu, comps[j]))
         cols.append(F.round(dot - F.lit(center), 4).alias(f"pc{j + 1}"))
     return df.select(*cols)
+
+
+def kmeans_parallel_init_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    oversample: int = 8,
+    rounds: int = 3,
+    scale: int = 1_000_000,
+    seed: int = 42,
+) -> DataFrame:
+    """k-means|| (scalable k-means++) initialization — Bahmani et al.,
+    VLDB 2012 — made DETERMINISTIC and integer-exact so an iterative,
+    nominally randomized seeding algorithm can carry a hash-exact
+    cross-engine oracle (the r11 widening of the quantized-kmeans
+    family; see kmeans_fit_assign_quantized for the base argument).
+
+    Algorithm (l = `oversample`, R = `rounds`, M = 2^20):
+      C_0 = {quantized vector of the lowest id}
+      for r in 1..R:
+        d2(x) = exact int64 squared distance of x̃ to nearest c ∈ C
+        φ     = Σ_x d2(x)              (exact, DECIMAL(38,0) partials)
+        sample x  iff  u(x, r) · φ < l · d2(x) · M
+        C += quantized vectors of the sampled ids
+      weight(c) = |{x : nearest(C, x) = c}|   (ties → lower cand id)
+      return the top-k candidates by (weight DESC, cand id ASC) as
+      (seed_rank, cand_id, weight) — the weighted re-clustering seeds.
+
+    Where the paper draws u ~ Uniform[0,1) per (point, round), this
+    uses the engine-portable md5 bridge (operators/dedup.py:
+    shingle_hash_arrays): u = top-60-bits(md5('kmpp<seed>|<r>|<id>'))
+    mod M. The inequality u·φ < l·d2·M is Bernoulli(min(1, l·d2/φ)) to
+    within 1/M — and every term is an exact integer both engines
+    reproduce bit-for-bit (products are evaluated in DECIMAL(38,0) /
+    HUGEINT: u·φ ≤ 2^20·N·2.6e14 overflows int64 at probe scales, and
+    the session is ANSI so a silent wrap is impossible anyway).
+    Already-selected candidates have d2 = 0 and can never re-sample
+    (strict inequality), so the candidate set needs no explicit dedup.
+
+    Scale contract: each round is ONE map-only Arrow assignment pass
+    against the |C|×d integer candidate matrix (broadcast in the UDF
+    closure) + ONE partial-aggregated φ sum + ONE filter — no shuffle
+    of row data at all; driver traffic per round is the O(l) newly
+    sampled coordinate rows (expected l per round, the paper's bound),
+    exactly the bounded-contract collect class of the k-centroid
+    fetches. The weight pass is one more assignment + a groupBy over
+    |C| ≈ l·R+1 keys. Nothing anywhere is O(rows) on the driver."""
+    import math
+
+    m = 1 << 20
+    df = df.select(id_col, vec_col)
+    init_rows = df.orderBy(id_col).limit(1).collect()
+    fscale = float(scale)
+    cands: dict[int, list[int]] = {
+        int(r[id_col]): [math.floor(float(x) * fscale + 0.5) for x in r[vec_col]]
+        for r in init_rows
+    }
+
+    def _matrix() -> tuple[list[int], list[list[int]]]:
+        ids = sorted(cands)  # index order == cand-id order (tie-break)
+        return ids, [cands[i] for i in ids]
+
+    for r in range(1, rounds + 1):
+        _ids, mat = _matrix()
+        assigned = kmeans_assign_quantized(df, vec_col, mat, scale)
+        phi = (
+            assigned.agg(
+                F.sum(F.col("sq_dist_q").cast("decimal(38,0)")).alias("phi")
+            ).collect()[0]["phi"]
+        )
+        phi_int = int(phi)
+        if phi_int == 0:  # fewer distinct points than candidates
+            break
+        u = (
+            f"cast(conv(substring(md5(concat('kmpp{seed}|{r}|', "
+            f"cast({id_col} as string))), 1, 15), 16, 10) as bigint) % {m}"
+        )
+        sampled = assigned.filter(
+            F.expr(
+                f"({u}) * cast('{phi_int}' as decimal(38,0)) "
+                f"< sq_dist_q * cast({oversample * m} as decimal(38,0))"
+            )
+        )
+        new_rows = df.join(
+            sampled.select(id_col), id_col, "semi"
+        ).collect()
+        for row in new_rows:
+            cands[int(row[id_col])] = [
+                math.floor(float(x) * fscale + 0.5) for x in row[vec_col]
+            ]
+
+    ids, mat = _matrix()
+    spark = df.sparkSession
+    assigned = kmeans_assign_quantized(df, vec_col, mat, scale)
+    # the weight aggregation is distributed (partial-agg'd groupBy over
+    # |C| keys); only the |C| ≈ l·rounds+1 (cluster, weight) cells come
+    # back — the same bounded-contract collect as the centroid fetches,
+    # so the final ranking runs in Python instead of a global window
+    counts = {
+        r["cluster"]: r["weight"]
+        for r in assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        .collect()
+    }
+    weighted = sorted(
+        ((counts.get(i, 0), cid) for i, cid in enumerate(ids)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return spark.createDataFrame(
+        [
+            (rank, cid, int(weight))
+            for rank, (weight, cid) in enumerate(weighted[:k])
+        ],
+        "seed_rank int, cand_id bigint, weight bigint",
+    )

@@ -99,3 +99,6 @@ def load_all() -> None:
     from whisky_wine_etl_spark.plans import round9a
 
     round9a.register()
+
+    # round 11: quantized k-means|| seeding (hash-exact oracle)
+    from whisky_wine_etl_spark.plans import round11a  # noqa: F401

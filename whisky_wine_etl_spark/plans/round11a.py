@@ -1,0 +1,156 @@
+"""Round 11: k-means|| (scalable k-means++) initialization with a
+hash-exact oracle — the SURVEY §24 item-4b widening of the quantized
+k-means family (sim_kmeans_lloyd, plans/round4c.py).
+
+Bahmani et al., "Scalable k-means++" (VLDB 2012) replaces k-means++'s
+k sequential passes with O(rounds) passes that oversample l candidates
+per round, then re-cluster the weighted candidates. The randomized
+sampling draw is replaced by the repo's engine-portable md5 bridge, so
+the entire procedure — distances, the potential φ, per-round sampling
+decisions, candidate weights, final seed ranking — is exact integer
+arithmetic both Spark and DuckDB reproduce bit-for-bit (the same move
+that graduated the MinHash family and quantized Lloyd's in r10).
+
+Reference parity note: the reference repo has no clustering surface at
+all (its data plane is ~180 LoC of pandas in two Airflow DAGs); this
+module is LLM-pipeline extension surface, where seeding quality
+controls semantic-dedup shard balance at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.plans.registry import query
+
+
+def _kmeans_par_init_oracle(
+    k: int, oversample: int, rounds: int, scale: int, seed: int
+) -> str:
+    """Unrolled DuckDB twin of kmeans_parallel_init_quantized.
+
+    Exactness argument, term by term (extends _kmeans_quant_oracle's,
+    plans/round4c.py:383):
+    - quantization and int64 squared distances: identical per-element
+      IEEE chains + order-free integer sums (the r10 argument).
+    - φ = SUM(d2): DuckDB sums BIGINT into HUGEINT; Spark sums into
+      DECIMAL(38,0) partials — both exact integers, same value.
+    - the sampling inequality u·φ < l·d2·M: u is the top-60-bit md5 of
+      the same string ('kmpp<seed>|<round>|<id>') mod M = 2^20 (the
+      established conv/substr ↔ CONCAT('0x',…) bridge,
+      operators/dedup.py:236 / plans/dedup.py:119); both products are
+      evaluated wide (HUGEINT here, DECIMAL(38,0) in Spark: u·φ tops
+      ~1e25 at probe scales, past int64) and compared strictly.
+      A candidate's own d2 is 0, so strictness makes re-selection
+      impossible without an explicit dedup on either side.
+    - weights and ranking: COUNT(*) per nearest candidate with ties to
+      the lower candidate id (ROW_NUMBER ORDER BY d2, cid == numpy
+      argmin over a cid-sorted matrix), then ROW_NUMBER over
+      (weight DESC, cid) — all integer, no FP anywhere after the
+      quantize step."""
+    m = 1 << 20
+    lm = oversample * m
+    parts = [
+        f"""
+WITH qv AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings
+),
+cand0 AS (
+  SELECT vec_id AS cid, dim, x AS c FROM qv
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+)"""
+    ]
+    prev = "cand0"
+    for r in range(1, rounds + 1):
+        u = (
+            f"CAST(CONCAT('0x', substr(md5(CONCAT('kmpp{seed}|{r}|', "
+            f"CAST(m.vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % {m}"
+        )
+        parts.append(
+            f""",
+dst{r} AS (
+  SELECT q.vec_id, c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cid
+),
+mind{r} AS (SELECT vec_id, MIN(d2) AS d2 FROM dst{r} GROUP BY vec_id),
+phi{r} AS (SELECT SUM(d2) AS phi FROM mind{r}),
+samp{r} AS (
+  SELECT m.vec_id
+  FROM mind{r} m, phi{r} p
+  WHERE CAST({u} AS HUGEINT) * p.phi
+        < CAST(m.d2 AS HUGEINT) * {lm}
+),
+cand{r} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT q.vec_id AS cid, q.dim, q.x AS c
+  FROM qv q JOIN samp{r} s USING (vec_id)
+)"""
+        )
+        prev = f"cand{r}"
+    parts.append(
+        f""",
+fd AS (
+  SELECT q.vec_id, c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cid
+),
+fa AS (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rk
+        FROM fd)
+  WHERE rk = 1
+),
+w AS (
+  SELECT c.cid, COUNT(fa.vec_id) AS weight
+  FROM (SELECT DISTINCT cid FROM {prev}) c
+  LEFT JOIN fa ON fa.cid = c.cid
+  GROUP BY c.cid
+)
+SELECT seed_rank, cand_id, weight
+FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, cid) - 1
+                  AS INT) AS seed_rank,
+             cid AS cand_id,
+             CAST(weight AS BIGINT) AS weight
+      FROM w)
+WHERE seed_rank < {k}
+ORDER BY seed_rank"""
+    )
+    return "".join(parts)
+
+
+_KMEANS_PAR_INIT_ORACLE = _kmeans_par_init_oracle(
+    k=8, oversample=8, rounds=3, scale=1_000_000, seed=42
+)
+
+
+@query("sim_kmeans_parallel_init", _KMEANS_PAR_INIT_ORACLE)
+def sim_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| seeding over embeddings: 3 oversampling rounds at
+    l=8, deterministic md5 sampling draw, integer-exact throughout;
+    returns the top-8 weighted seeds as (seed_rank, cand_id, weight).
+
+    See operators/clustering.py:kmeans_parallel_init_quantized for the
+    scale contract (per round: one map-only Arrow assignment against
+    the broadcast candidate matrix + one partial-agg φ sum; driver
+    traffic = the O(l) sampled rows, never O(corpus)) and
+    _kmeans_par_init_oracle above for the bit-identity argument that
+    puts a nominally randomized seeding algorithm under a HASH-EXACT
+    cross-engine oracle."""
+    from whisky_wine_etl_spark.operators.clustering import (
+        kmeans_parallel_init_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_parallel_init_quantized(
+        emb, "vec_id", "embedding", k=8, oversample=8, rounds=3,
+        scale=1_000_000, seed=42,
+    )
