@@ -71,6 +71,7 @@ HEADLINE = [
     "assoc_rules_lift",               # basket rules on one fact shuffle
     "sim_kmeans_lloyd",               # iterative Lloyd's (codegen assignment)
     "sim_kmeans_parallel_init",       # k-means|| seeding (r11, md5 draw)
+    "stream_kmeans_assign",           # fit-batch/serve-stream scoring (r11)
     "agg_hll_exact_anchor",           # two-phase exact distinct (r11)
     "text_bm25_search",               # BM25 top-k with broadcast stats
     "sim_pca_project",                # partial-Gram PCA + codegen projection

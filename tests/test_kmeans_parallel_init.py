@@ -70,3 +70,21 @@ def test_candidate_growth_is_bounded(spark):
     )
     n_cands = out.count()  # k larger than candidate count → all kept
     assert n_cands <= 4 * (1 + 8 * 3), n_cands
+
+
+def test_stream_assign_equals_batch_bitwise(spark):
+    """The streaming member of the quantized-kmeans family: a
+    stateless scored stream over 3 micro-batches must reproduce the
+    batch plan's (vec_id, cluster, sq_dist_q) bit-for-bit — the
+    fit-batch/serve-stream contract its shared oracle enforces."""
+    import glob
+    import os
+
+    from whisky_wine_etl_spark.streaming import pipelines as sp
+
+    streamed = plans.QUERIES["stream_kmeans_assign"](spark, SF).collect()
+    batch = plans.QUERIES["sim_kmeans_lloyd"](spark, SF).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    landing = sp.embeddings_landing(spark, SF)  # same app-id-keyed dir
+    n_files = len(glob.glob(os.path.join(landing, "part-*.parquet")))
+    assert n_files == 3  # maxFilesPerTrigger=1 → one micro-batch each

@@ -71,6 +71,7 @@ PROBES = [
     ("stream_left_outer_attribution", "stream-stream left outer, watermark state eviction (r11)"),
     ("agg_hll_exact_anchor", "two-phase exact distinct at (day,type,user) grain (r11)"),
     ("sim_kmeans_parallel_init", "k-means|| seeding — per-round map-only assignment (r11)"),
+    ("stream_kmeans_assign", "fit-batch/serve-stream scoring over micro-batches (r11)"),
 ]
 
 SCALED = {

@@ -497,9 +497,9 @@ def kmeans_parallel_init_quantized(
                 f"< sq_dist_q * cast({oversample * m} as decimal(38,0))"
             )
         )
-        new_rows = df.join(
-            sampled.select(id_col), id_col, "semi"
-        ).collect()
+        # assigned = df + (cluster, sq_dist_q), so the sampled rows
+        # already carry their vectors — no join-back needed
+        new_rows = sampled.select(id_col, vec_col).collect()
         for row in new_rows:
             cands[int(row[id_col])] = [
                 math.floor(float(x) * fscale + 0.5) for x in row[vec_col]

@@ -154,3 +154,57 @@ def sim_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=8, oversample=8, rounds=3,
         scale=1_000_000, seed=42,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming k-means assignment — fit on history, serve from a stream
+# (the second §24 item-4b candidate: a STREAMING member of the
+# quantized-kmeans family). The oracle is the SAME unrolled SQL as
+# sim_kmeans_lloyd's: a stateless map over micro-batches must equal
+# the batch plan bit-for-bit, which is exactly what the hash gate
+# proves here. NOTE the cross-module oracle dependency (the documented
+# recheck-derivation blind spot, cf. er_golden_record r10): this
+# query's oracle text is generated by round4c._kmeans_quant_oracle, so
+# a change THERE must hand-pin THIS name into _RECHECK_FIRST.
+# ---------------------------------------------------------------------------
+
+
+def _register_stream_kmeans() -> None:
+    from whisky_wine_etl_spark.plans.round4c import _KMEANS_QUANT_ORACLE
+
+    @query("stream_kmeans_assign", _KMEANS_QUANT_ORACLE)
+    def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Model serving over Structured Streaming: quantized Lloyd's
+        centroids are fit ONCE on the static embeddings table
+        (deterministic, k·d-int driver traffic — see
+        operators/clustering.py:kmeans_fit_quantized), then vectors
+        arrive as a 3-micro-batch file stream and each batch is scored
+        by the SAME map-only Arrow assignment the batch plan uses.
+        Stateless projection → append mode needs no watermark, no
+        state store, and the streamed result must equal
+        sim_kmeans_lloyd's batch output exactly (same oracle).
+
+        100 TB design: this is the canonical fit-batch/serve-stream
+        split — the centroid matrix ships in the UDF closure (k·d
+        ints, broadcast-sized), per-batch cost is one vectorized
+        matmul per Arrow batch, and nothing accumulates: a stream of
+        new documents is scored at ingest rate with zero shuffle."""
+        from whisky_wine_etl_spark.operators.clustering import (
+            kmeans_assign_quantized,
+            kmeans_fit_quantized,
+        )
+        from whisky_wine_etl_spark.streaming import pipelines as sp
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = kmeans_fit_quantized(
+            emb, "vec_id", "embedding", k=8, n_iter=4, scale=1_000_000
+        )
+        landing = sp.embeddings_landing(spark, sf_dir, n_files=3)
+        stream = sp.embeddings_file_stream(spark, landing, max_files_per_trigger=1)
+        scored = kmeans_assign_quantized(
+            stream, "embedding", centroids, scale=1_000_000
+        ).select("vec_id", "cluster", "sq_dist_q")
+        return sp.run_to_memory(spark, scored, "append")
+
+
+_register_stream_kmeans()

@@ -135,6 +135,46 @@ def multibatch_landing(spark: SparkSession, sf_dir: str, n_files: int = 3) -> st
     return dest
 
 
+def embeddings_landing(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Split the embeddings table into `n_files` id-range-partitioned
+    parquet files in a landing dir — the MODEL-SERVING landing pattern
+    (stream_kmeans_assign, plans/round11a.py): a model is fit on the
+    static history and NEW vectors arrive as a stream to be scored.
+    Same app-id-keyed dir + mtime-stagger contract as
+    multibatch_landing (each file becomes its own micro-batch under
+    maxFilesPerTrigger=1)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "sg_emblanding_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + "_"
+        + hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:10],
+    )
+    from whisky_wine_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.repartitionByRange(n_files, "vec_id").write.mode("overwrite").parquet(dest)
+    base = 1_700_000_000
+    for i, path in enumerate(sorted(glob.glob(os.path.join(dest, "part-*.parquet")))):
+        os.utime(path, (base + 60 * i, base + 60 * i))
+    return dest
+
+
+def embeddings_file_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an embeddings landing dir."""
+    reader = spark.readStream.schema("vec_id long, embedding array<float>")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(directory)
+
+
 def multibatch_landing_with_sentinel(
     spark: SparkSession, sf_dir: str, n_files: int = 3
 ) -> str:
