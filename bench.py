@@ -72,6 +72,7 @@ HEADLINE = [
     "sim_kmeans_lloyd",               # iterative Lloyd's (codegen assignment)
     "sim_kmeans_parallel_init",       # k-means|| seeding (r11, md5 draw)
     "stream_kmeans_assign",           # fit-batch/serve-stream scoring (r11)
+    "sim_kmeans_pll_refined",         # kmeans|| + Lloyd's end-to-end (r11)
     "agg_hll_exact_anchor",           # two-phase exact distinct (r11)
     "text_bm25_search",               # BM25 top-k with broadcast stats
     "sim_pca_project",                # partial-Gram PCA + codegen projection

@@ -88,3 +88,26 @@ def test_stream_assign_equals_batch_bitwise(spark):
     landing = sp.embeddings_landing(spark, SF)  # same app-id-keyed dir
     n_files = len(glob.glob(os.path.join(landing, "part-*.parquet")))
     assert n_files == 3  # maxFilesPerTrigger=1 → one micro-batch each
+
+
+def test_pll_refined_beats_naive_init(spark):
+    """The reason k-means|| exists: Lloyd's from the weighted ||
+    seeds must reach a total quantized cost no worse than Lloyd's
+    from the naive lowest-vec_id init (same k, same iterations, same
+    arithmetic). Deterministic on this fixture — pins behavior."""
+    refined = plans.QUERIES["sim_kmeans_pll_refined"](spark, SF)
+    naive = plans.QUERIES["sim_kmeans_lloyd"](spark, SF)
+    cost_r = refined.agg(F.sum("sq_dist_q")).collect()[0][0]
+    cost_n = naive.agg(F.sum("sq_dist_q")).collect()[0][0]
+    assert cost_r <= cost_n, (cost_r, cost_n)
+    # and it is a full assignment: every vector gets a cluster
+    n = load_table(spark, SF, "embeddings").count()
+    assert refined.count() == n
+
+
+def test_pll_refined_deterministic_under_partitioning(spark):
+    from whisky_wine_etl_spark import plans as p
+
+    a = p.QUERIES["sim_kmeans_pll_refined"](spark, SF).collect()
+    b = p.QUERIES["sim_kmeans_pll_refined"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -529,3 +529,53 @@ def kmeans_parallel_init_quantized(
         ],
         "seed_rank int, cand_id bigint, weight bigint",
     )
+
+
+def kmeans_refine_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: list[list[int]],
+    n_iter: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quantized Lloyd's update loop from a CALLER-SUPPLIED integer
+    centroid matrix — the refinement stage that completes the
+    scalable-k-means pipeline (k-means|| seeds → Lloyd's; Bahmani et
+    al. 2012 step 4, in the init-full-Lloyd's form production systems
+    use — e.g. Spark MLlib's KMeans runs exactly this split). The
+    update/assign arithmetic is kmeans_fit_assign_quantized's
+    bit-identity contract verbatim; it lives as a STANDALONE function
+    (rather than an init parameter on kmeans_fit_quantized) so the
+    already-driver-verified callers of the fit path keep an untouched
+    recheck fingerprint.
+
+    Returns (id_col, cluster, sq_dist_q); cluster = index into
+    `init_centroids` order, ties to the lower index."""
+    df = df.select(id_col, vec_col)
+    centroids = [list(c) for c in init_centroids]
+    for _ in range(n_iter):
+        assigned = kmeans_assign_quantized(df, vec_col, centroids, scale)
+        cells = (
+            assigned.filter(F.col("cluster").isNotNull())
+            .select("cluster", F.posexplode(vec_col).alias("dim", "xf"))
+            .select(
+                "cluster",
+                "dim",
+                F.floor(
+                    F.col("xf").cast("double") * F.lit(float(scale))
+                    + F.lit(0.5)
+                ).alias("x"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in cells:
+            s, n = int(r["s"]), int(r["n"])
+            new_c[r["cluster"]][r["dim"]] = (2 * s + n) // (2 * n)
+        centroids = new_c
+    return kmeans_assign_quantized(df, vec_col, centroids, scale).select(
+        id_col, "cluster", "sq_dist_q"
+    )

@@ -20,6 +20,7 @@ controls semantic-dedup shard balance at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
 from whisky_wine_etl_spark.plans.registry import query
@@ -53,14 +54,14 @@ def _kmeans_par_init_oracle(
     lm = oversample * m
     parts = [
         f"""
-WITH qv AS (
+WITH qv AS MATERIALIZED (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)
               AS BIGINT) AS x
   FROM embeddings
 ),
-cand0 AS (
+cand0 AS MATERIALIZED (
   SELECT vec_id AS cid, dim, x AS c FROM qv
   WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
 )"""
@@ -73,20 +74,20 @@ cand0 AS (
         )
         parts.append(
             f""",
-dst{r} AS (
+dst{r} AS MATERIALIZED (
   SELECT q.vec_id, c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS d2
   FROM qv q JOIN {prev} c USING (dim)
   GROUP BY q.vec_id, c.cid
 ),
-mind{r} AS (SELECT vec_id, MIN(d2) AS d2 FROM dst{r} GROUP BY vec_id),
-phi{r} AS (SELECT SUM(d2) AS phi FROM mind{r}),
-samp{r} AS (
+mind{r} AS MATERIALIZED (SELECT vec_id, MIN(d2) AS d2 FROM dst{r} GROUP BY vec_id),
+phi{r} AS MATERIALIZED (SELECT SUM(d2) AS phi FROM mind{r}),
+samp{r} AS MATERIALIZED (
   SELECT m.vec_id
   FROM mind{r} m, phi{r} p
   WHERE CAST({u} AS HUGEINT) * p.phi
         < CAST(m.d2 AS HUGEINT) * {lm}
 ),
-cand{r} AS (
+cand{r} AS MATERIALIZED (
   SELECT * FROM {prev}
   UNION ALL
   SELECT q.vec_id AS cid, q.dim, q.x AS c
@@ -96,12 +97,12 @@ cand{r} AS (
         prev = f"cand{r}"
     parts.append(
         f""",
-fd AS (
+fd AS MATERIALIZED (
   SELECT q.vec_id, c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS d2
   FROM qv q JOIN {prev} c USING (dim)
   GROUP BY q.vec_id, c.cid
 ),
-fa AS (
+fa AS MATERIALIZED (
   SELECT vec_id, cid
   FROM (SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -109,7 +110,7 @@ fa AS (
         FROM fd)
   WHERE rk = 1
 ),
-w AS (
+w AS MATERIALIZED (
   SELECT c.cid, COUNT(fa.vec_id) AS weight
   FROM (SELECT DISTINCT cid FROM {prev}) c
   LEFT JOIN fa ON fa.cid = c.cid
@@ -127,8 +128,93 @@ ORDER BY seed_rank"""
     return "".join(parts)
 
 
+def _kmeans_pll_refined_oracle(
+    k: int, oversample: int, rounds: int, n_iter: int, scale: int, seed: int
+) -> str:
+    """Unrolled DuckDB twin of the FULL scalable-k-means pipeline:
+    the k-means|| init chain (every CTE of _kmeans_par_init_oracle up
+    to the weight table `w`, byte-shared via the common prefix) feeds
+    the top-k seeds — ordered by (weight DESC, cid), cluster id =
+    seed_rank — into `n_iter` quantized Lloyd's update rounds written
+    exactly like _kmeans_quant_oracle's iteration blocks
+    (plans/round4c.py:383, same round-half-up centroid identity and
+    tie rules). Exactness = the union of the two parents' arguments;
+    no new arithmetic appears anywhere."""
+    init = _kmeans_par_init_oracle(k, oversample, rounds, scale, seed)
+    # keep only the shared CTE chain: cut the init oracle's final
+    # SELECT and splice the seed table in as another CTE
+    cut = init.rindex("\nSELECT seed_rank, cand_id, weight")
+    parts = [
+        init[:cut],
+        f""",
+seeds AS MATERIALIZED (
+  SELECT seed_rank AS cluster, cid
+  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, cid) - 1
+                    AS INT) AS seed_rank,
+               cid
+        FROM w)
+  WHERE seed_rank < {k}
+),
+rc0 AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.x AS c
+  FROM seeds s JOIN qv q ON q.vec_id = s.cid
+)""",
+    ]
+    prev = "rc0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+rd{i} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cluster
+),
+ra{i} AS MATERIALIZED (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM rd{i})
+  WHERE rk = 1
+),
+rs{i} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, SUM(q.x) AS s, COUNT(*) AS n
+  FROM ra{i} a JOIN qv q USING (vec_id)
+  GROUP BY a.cluster, q.dim
+),
+rc{i} AS MATERIALIZED (
+  SELECT p.cluster, p.dim,
+         COALESCE(
+           CAST(FLOOR((2 * CAST(s.s AS DOUBLE) + s.n)
+                      / (2 * CAST(s.n AS DOUBLE))) AS BIGINT),
+           p.c) AS c
+  FROM {prev} p LEFT JOIN rs{i} s USING (cluster, dim)
+)"""
+        )
+        prev = f"rc{i}"
+    parts.append(
+        f""",
+rdfin AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM qv q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cluster
+)
+SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS sq_dist_q
+FROM (SELECT vec_id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cluster) AS rk
+      FROM rdfin)
+WHERE rk = 1"""
+    )
+    return "".join(parts)
+
+
 _KMEANS_PAR_INIT_ORACLE = _kmeans_par_init_oracle(
     k=8, oversample=8, rounds=3, scale=1_000_000, seed=42
+)
+
+_KMEANS_PLL_REFINED_ORACLE = _kmeans_pll_refined_oracle(
+    k=8, oversample=8, rounds=3, n_iter=4, scale=1_000_000, seed=42
 )
 
 
@@ -153,6 +239,47 @@ def sim_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_parallel_init_quantized(
         emb, "vec_id", "embedding", k=8, oversample=8, rounds=3,
         scale=1_000_000, seed=42,
+    )
+
+
+@query("sim_kmeans_pll_refined", _KMEANS_PLL_REFINED_ORACLE)
+def sim_kmeans_pll_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete scalable-k-means pipeline: k-means|| seeds
+    (sim_kmeans_parallel_init's top-8 by weight) initialize 4 rounds
+    of quantized Lloyd's over the full corpus — Bahmani step 4 in the
+    init-full-Lloyd's form production systems use (Spark MLlib's
+    KMeans runs exactly this split), end-to-end under one HASH-EXACT
+    oracle. Cluster id = the seed's rank, so the output is directly
+    comparable to sim_kmeans_lloyd's naive-init twin; the seeded run's
+    total quantized cost must be ≤ the naive run's
+    (tests/test_kmeans_parallel_init.py pins it).
+
+    Scale contract: the init phase is the parallel-init operator's
+    (map-only assignment per round, O(l) driver rows); the refinement
+    is kmeans_fit_assign_quantized's (O(tasks·k·d) update shuffle,
+    k·d-int driver traffic per iteration). Nothing new."""
+    import math
+
+    from whisky_wine_etl_spark.operators.clustering import (
+        kmeans_parallel_init_quantized,
+        kmeans_refine_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = kmeans_parallel_init_quantized(
+        emb, "vec_id", "embedding", k=8, oversample=8, rounds=3,
+        scale=1_000_000, seed=42,
+    ).collect()  # k rows — bounded contract, same class as centroids
+    seed_ids = [r["cand_id"] for r in sorted(seeds, key=lambda r: r["seed_rank"])]
+    coords = {
+        r["vec_id"]: [
+            math.floor(float(x) * 1_000_000.0 + 0.5) for x in r["embedding"]
+        ]
+        for r in emb.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    init = [coords[i] for i in seed_ids]
+    return kmeans_refine_quantized(
+        emb, "vec_id", "embedding", init, n_iter=4, scale=1_000_000
     )
 
 
