@@ -105,7 +105,11 @@ def test_pll_refined_beats_naive_init(spark):
     assert refined.count() == n
 
 
-def test_pll_refined_deterministic_under_partitioning(spark):
+def test_pll_refined_run_to_run_deterministic(spark):
+    """Two independent end-to-end runs (fresh seeding, fresh collects,
+    fresh refinement) must agree bit-for-bit; partitioning/thread
+    perturbation is covered by tools/audit_fp_stability.py on the
+    registered query (STABLE)."""
     from whisky_wine_etl_spark import plans as p
 
     a = p.QUERIES["sim_kmeans_pll_refined"](spark, SF).collect()
