@@ -73,6 +73,9 @@ PROBES = [
     ("sim_kmeans_parallel_init", "k-means|| seeding — per-round map-only assignment (r11)"),
     ("stream_kmeans_assign", "fit-batch/serve-stream scoring over micro-batches (r11)"),
     ("sim_kmeans_pll_refined", "k-means|| seeds + Lloyd's refinement end-to-end (r11)"),
+    # r11: the #3 bench heavy, eps-grid candidate join — per-cell pair
+    # growth under 20x embedding density is the classic saturation risk
+    ("sim_dbscan_embedding", "DBSCAN eps-grid candidate join + star CC (r11)"),
     # r11: the geo family's grid-cell saturation risk (fixed 4-degree
     # cells + growing point density — the same shape class as r10's
     # SimHash bucket catch; stations are an unscaled dim, so candidate
