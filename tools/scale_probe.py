@@ -76,6 +76,14 @@ PROBES = [
     # r11: the #3 bench heavy, eps-grid candidate join — per-cell pair
     # growth under 20x embedding density is the classic saturation risk
     ("sim_dbscan_embedding", "DBSCAN eps-grid candidate join + star CC (r11)"),
+    # r11: the last unprobed bench heavies — HITS (the one iterative
+    # graph query the r10 ad-hoc batch skipped), Cox PH (risk-set
+    # prefix sums), k-center (k broadcast argmax rounds), cogroup
+    # as-of (applyInPandas per-key merge, skew-sensitive)
+    ("graph_hits_authorities", "HITS hub/authority power iteration (r11)"),
+    ("ml_cox_ph", "Cox proportional hazards via risk-set prefix sums (r11)"),
+    ("sim_kcenter_greedy", "Gonzalez farthest-first k-center (r11)"),
+    ("join_asof_cogroup", "cogroup applyInPandas as-of merge (r11)"),
     # r11: the geo family's grid-cell saturation risk (fixed 4-degree
     # cells + growing point density — the same shape class as r10's
     # SimHash bucket catch; stations are an unscaled dim, so candidate
