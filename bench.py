@@ -207,9 +207,11 @@ def _merge_prior_artifact(local: dict, prior: dict) -> None:
     into NEXT round's filename — that cross-box datapoint must not be
     destroyed); (b) a differing top-level run about to be displaced is
     stashed into a bounded newest-first list (`prior_runs_same_file`,
-    deduped by value, capped at 5) — a single setdefault slot kept only
-    the FIRST displaced run, so a third bench run destroyed the
-    second's numbers."""
+    deduped by value, capped at 10 — raised from 5 in r11, where five
+    same-round runs left the driver's cross-box datapoint one rerun
+    from eviction) — a single setdefault slot kept only the FIRST
+    displaced run, so a third bench run destroyed the second's
+    numbers."""
     for k, v in prior.items():
         if (
             k.startswith(("envelope", "driver_run", "note", "prior_run"))
@@ -228,7 +230,7 @@ def _merge_prior_artifact(local: dict, prior: dict) -> None:
         }
         if all(s.get("value") != displaced.get("value") for s in stash):
             stash.insert(0, displaced)
-        local["prior_runs_same_file"] = stash[:5]
+        local["prior_runs_same_file"] = stash[:10]
         local.pop("prior_run_same_file", None)
 
 

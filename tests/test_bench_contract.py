@@ -92,6 +92,18 @@ def test_merge_prior_artifact_keeps_every_displaced_run():
     merge(run3b, run3)
     assert [s["value"] for s in run3b["prior_runs_same_file"]] == stash_values
 
+    # cap = 10, newest first: a round of reruns (r11 produced five)
+    # must not evict the oldest entry — the driver's cross-box run
+    cur = dict(run3)
+    for v in range(121, 131):
+        nxt = {"value": float(v), "queries": {"a": v}, "n_runs": 3, "sf": 0.1}
+        merge(nxt, cur)
+        cur = nxt
+    vals = [s["value"] for s in cur["prior_runs_same_file"]]
+    assert len(vals) == 10 and vals[0] == 129.0, vals
+    assert 120.0 in vals, "a 10-deep stash keeps a full round of reruns"
+
+
 
 def test_oracle_sql_mentions_no_engine_internals():
     """Oracle strings must be plain DuckDB SQL over the registered
