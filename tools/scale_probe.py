@@ -84,6 +84,10 @@ PROBES = [
     ("ml_cox_ph", "Cox proportional hazards via risk-set prefix sums (r11)"),
     ("sim_kcenter_greedy", "Gonzalez farthest-first k-center (r11)"),
     ("join_asof_cogroup", "cogroup applyInPandas as-of merge (r11)"),
+    # r11: the iterative graph family joins the COMMITTED roster (r10
+    # probed it ad-hoc only); sssp is the #1 bench heavy
+    ("graph_sssp_weighted", "improved-frontier Bellman-Ford, per-round shuffle join (r11)"),
+    ("graph_pagerank_copurchase", "damped PageRank, 3 fixed iterations (r11)"),
     # r11: the geo family's grid-cell saturation risk (fixed 4-degree
     # cells + growing point density — the same shape class as r10's
     # SimHash bucket catch; stations are an unscaled dim, so candidate
