@@ -1,7 +1,18 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {<10 slowest>}, "n_queries": ..., "sf": ..., "artifact": ...}.
+
+The stdout line is deliberately bounded: the driver records only the
+LAST 2000 characters of stdout into BENCH_r{N}.json, and once the full
+per-query map grew past that (round 5, ~130 queries) every driver
+bench record read `parsed: null` with even the suite total truncated
+off the tail (VERDICT r11 item 1 — six rounds of lost telemetry). So
+the one stdout line now carries the suite total, query count, and the
+10 slowest per-query medians, with a hard length budget pinned by
+tests/test_bench_contract.py; the COMPLETE timing map + raw samples
+live in the committed BENCH_LOCAL_r{N}.json artifact the line names.
 
 The headline set spans every engine surface: TPC-H-shaped join/agg,
 windows, JSON/date functions, the wine reference pipeline (SURVEY.md §2
@@ -198,6 +209,44 @@ HEADLINE = [
 ]
 
 
+# Hard budget for the single stdout line. The driver tails 2000 chars;
+# staying well under leaves room for any harness framing around it.
+STDOUT_LINE_BUDGET = 1900
+_TOPK_STDOUT_QUERIES = 10
+
+
+def _compact_stdout_line(payload: dict, artifact: str) -> str:
+    """The ONE stdout JSON line, guaranteed <= STDOUT_LINE_BUDGET chars.
+
+    Keeps the driver-contract keys (metric/value/unit/sf) plus the 10
+    slowest per-query medians (the regression-watch head) and the name
+    of the artifact file holding the complete map. Belt-and-braces: if
+    a pathological name/value combination ever pushes the line over
+    budget, the queries map is dropped rather than the total."""
+    slowest = dict(
+        sorted(payload["queries"].items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_TOPK_STDOUT_QUERIES
+        ]
+    )
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "n_runs": payload["n_runs"],
+        "n_queries": len(payload["queries"]),
+        "queries": slowest,
+        "queries_truncated_to": _TOPK_STDOUT_QUERIES,
+        "artifact": artifact,
+    }
+    line = json.dumps(compact)
+    if len(line) > STDOUT_LINE_BUDGET:
+        compact.pop("queries", None)
+        compact.pop("queries_truncated_to", None)
+        line = json.dumps(compact)
+    return line
+
+
 def _merge_prior_artifact(local: dict, prior: dict) -> None:
     """Merge a to-be-overwritten BENCH_LOCAL artifact into the new one.
 
@@ -299,12 +348,14 @@ def main() -> int:
         "n_runs": n_runs,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
-    print(json.dumps(payload))
     # The driver's BENCH_r{N}.json preserves only a 2000-char tail of
-    # stdout — not enough for the full per-query map, so round-over-
-    # round regression diffs were partial (VERDICT r5 item 6). Persist
-    # the COMPLETE timing map (plus raw per-run samples) to a
-    # committed, diff-able artifact keyed by the upcoming round number.
+    # stdout — not enough for the full per-query map (and from r5 the
+    # overgrown one-line payload truncated even the total: every
+    # BENCH_r05..r11 parsed null). Persist the COMPLETE timing map
+    # (plus raw per-run samples) to a committed, diff-able artifact
+    # keyed by the upcoming round number; stdout gets only the compact
+    # line printed at the end of this function.
+    artifact_name = "BENCH_LOCAL_unversioned.json"
     try:
         import glob
         import re
@@ -338,7 +389,8 @@ def main() -> int:
         local["samples"] = {k: [round(x, 3) for x in v] for k, v in samples.items()}
         # Envelope preservation + displaced-run stash: see
         # _merge_prior_artifact's docstring.
-        out_path = os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json")
+        artifact_name = f"BENCH_LOCAL_r{n_round:02d}.json"
+        out_path = os.path.join(here, artifact_name)
         try:
             with open(out_path) as f:
                 prior = json.load(f)
@@ -349,6 +401,7 @@ def main() -> int:
             json.dump(local, f, indent=1, sort_keys=True)
     except OSError:
         pass  # a read-only checkout still gets the stdout contract
+    print(_compact_stdout_line(payload, artifact_name))
     return 0
 
 

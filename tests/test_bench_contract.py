@@ -105,6 +105,51 @@ def test_merge_prior_artifact_keeps_every_displaced_run():
 
 
 
+def test_compact_stdout_line_stays_under_driver_tail_budget():
+    """VERDICT r11 item 1: the driver keeps only the last 2000 chars of
+    stdout; the one-line full payload outgrew that at r5 and every
+    BENCH_r05..r11 recorded `parsed: null`. Pin the new contract: the
+    emitted line is valid JSON, carries the suite total + query count +
+    artifact name, and stays under budget even at worst-case widths
+    (every HEADLINE query at a 5-digit-seconds median)."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_stdout", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    worst = {name: 99999.999 for name in mod.HEADLINE}
+    payload = {
+        "metric": "headline_suite_total",
+        "value": round(sum(worst.values()), 3),
+        "unit": "sec",
+        "queries": worst,
+        "n_runs": 3,
+        "sf": 0.1,
+    }
+    line = mod._compact_stdout_line(payload, "BENCH_LOCAL_r99.json")
+    assert len(line) <= mod.STDOUT_LINE_BUDGET <= 2000, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == payload["value"]
+    assert parsed["n_queries"] == len(mod.HEADLINE)
+    assert parsed["artifact"] == "BENCH_LOCAL_r99.json"
+    assert len(parsed["queries"]) == mod._TOPK_STDOUT_QUERIES
+    # the 10 kept entries are the slowest ones (regression-watch head)
+    assert set(parsed["queries"]) <= set(worst)
+
+    # belt-and-braces path: pathological names can never push the line
+    # over budget — the queries map is dropped, the total survives
+    absurd = {("q" * 400) + str(i): 99999.999 for i in range(40)}
+    payload_absurd = dict(payload, queries=absurd)
+    line2 = mod._compact_stdout_line(payload_absurd, "BENCH_LOCAL_r99.json")
+    assert len(line2) <= mod.STDOUT_LINE_BUDGET
+    parsed2 = json.loads(line2)
+    assert parsed2["value"] == payload["value"]
+    assert "queries" not in parsed2
+
+
 def test_oracle_sql_mentions_no_engine_internals():
     """Oracle strings must be plain DuckDB SQL over the registered
     views — no Spark-only syntax that would silently never run."""
