@@ -103,6 +103,33 @@ _RECHECK_FORCE: frozenset[str] = frozenset({
     # CORRECTNESS_r10 and was cleared with the tier.
 })
 
+# Mechanical cross-module oracle pins (ADVICE r11 item 2). The
+# git-derived recheck gate fingerprints a query's registration site in
+# its DEFINING plans module; an oracle whose TEXT is built from another
+# module's helpers/constants changes with no textual change at the
+# registration site. Previously that blind spot was covered by comments
+# asking a future editor to hand-pin the dependent name (er_golden_record
+# slipped through exactly that way in r10). This map makes it
+# mechanical: tests/test_recheck_derivation.py folds each donor
+# module's docstring-stripped AST dump into the dependent name's
+# fingerprint, so ANY semantic change to the donor flags the dependent
+# into _RECHECK_FIRST automatically — no reviewer memory involved.
+# Keys must be registered query names; values are repo-relative donor
+# module paths OUTSIDE the name's own defining module (hygiene-tested).
+_CROSS_MODULE_ORACLE_DEPS: dict[str, tuple[str, ...]] = {
+    # shares round4c's _KMEANS_QUANT_ORACLE verbatim (SURVEY §25.8)
+    "stream_kmeans_assign": ("whisky_wine_etl_spark/plans/round4c.py",),
+    # interpolates round4as._fs_score_sql/_FS_B_SQL/_FS_THRESHOLD
+    "er_golden_record": ("whisky_wine_etl_spark/plans/round4as.py",),
+    # _minhash_oracle bakes dd.MERSENNE31/PRIME31B/HORNER_B1/B2 and
+    # dd._hash_family(seed) into literal VALUES rows (plans/dedup.py)
+    "dedup_minhash_lsh": ("whisky_wine_etl_spark/operators/dedup.py",),
+    "dedup_clusters_lsh": ("whisky_wine_etl_spark/operators/dedup.py",),
+    "dedup_canonical_summary_lsh": (
+        "whisky_wine_etl_spark/operators/dedup.py",
+    ),
+}
+
 # Within the recheck tier, these names sort FIRST (in this order).
 # Empty when the tier fits one round's slate and no member's check
 # class changed in kind; all four r9 priority names (isotonic's new

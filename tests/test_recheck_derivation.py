@@ -21,9 +21,16 @@ CORRECTNESS row landed, and compares it with the working tree:
 - any name whose fingerprint differs from its baseline MUST be in
   __spark_entry__._RECHECK_FIRST.
 
-Known limitation (accepted): a change in a HELPER FUNCTION another
-module imports does not flag its callers; the full parity sweeps
-remain the behavioral net for those.
+Known limitation (narrowed in r12): a change in a HELPER FUNCTION
+another module imports does not flag its callers IN GENERAL; the full
+parity sweeps remain the behavioral net. But for the known
+oracle-donor couplings the blind spot is now closed mechanically:
+__spark_entry__._CROSS_MODULE_ORACLE_DEPS maps a query name to the
+donor modules its oracle text is built from, and this test folds each
+donor's docstring-stripped AST dump into the name's fingerprint — a
+semantic donor change flags the dependent into the tier with no
+reviewer memory involved (ADVICE r11 item 2; er_golden_record slipped
+through the comment-only version of this in r10).
 """
 
 from __future__ import annotations
@@ -229,6 +236,23 @@ def _tree_fingerprints(files: dict[str, str]) -> dict[str, tuple[str, str]]:
     return fps
 
 
+def _module_semantic_dump(src: str) -> str:
+    """Docstring-stripped AST dump of a whole module: comment and
+    docstring edits don't register, any other edit does. Fallback to
+    raw text when the historical file doesn't parse."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return src
+    for node in ast.walk(tree):
+        if isinstance(
+            node,
+            (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+        ):
+            _strip_docstring(node)
+    return ast.dump(tree)
+
+
 @functools.lru_cache(maxsize=None)
 def _file_at(commit: str, relpath: str) -> str | None:
     try:
@@ -280,6 +304,52 @@ def _baseline_commit(round_no: int) -> str | None:
         f"CORRECTNESS_r{round_no:02d}.json", f"CORRECTNESS_r{round_no}.json",
     ).split()
     return log[0] if log else None
+
+
+def test_cross_module_dep_map_is_well_formed():
+    """The donor map can't be allowed to rot: every key must be a live
+    registered query, every donor path must exist and parse, and the
+    donor must genuinely be a DIFFERENT module than the one defining
+    the query (a same-module 'donor' would mean the normal fingerprint
+    already covers it and the map entry is dead weight)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry  # noqa: PLC0415
+    from whisky_wine_etl_spark import plans
+
+    plans.load_all()
+    deps = entry._CROSS_MODULE_ORACLE_DEPS
+    assert deps, "map unexpectedly empty — r12 installed 5 known pins"
+    for name, donors in deps.items():
+        assert name in plans.QUERIES, f"unknown query in dep map: {name}"
+        defining_mod = plans.QUERIES[name].__module__.replace(".", "/") + ".py"
+        for rel in donors:
+            path = os.path.join(REPO, rel)
+            assert os.path.exists(path), f"{name}: donor missing {rel}"
+            ast.parse(open(path).read())  # donor must parse
+            assert rel != defining_mod, (
+                f"{name}: donor {rel} is the defining module itself"
+            )
+
+
+def test_donor_change_flags_dependent_mechanically():
+    """Simulate the exact r10 er_golden_record scenario: a semantic
+    edit in the donor module must flip the dependent's fingerprint
+    comparison even though the dependent's own registration site is
+    untouched. Exercised via _module_semantic_dump directly — a
+    docstring-only donor edit must NOT flag, a constant change must."""
+    donor_v1 = 'X = 31\ndef helper(a):\n    """doc."""\n    return a * X\n'
+    donor_doc_edit = (
+        'X = 31\ndef helper(a):\n    """better doc."""\n    return a * X\n'
+    )
+    donor_semantic = 'X = 37\ndef helper(a):\n    """doc."""\n    return a * X\n'
+    assert _module_semantic_dump(donor_v1) == _module_semantic_dump(
+        donor_doc_edit
+    ), "docstring-only donor edits must not flag dependents"
+    assert _module_semantic_dump(donor_v1) != _module_semantic_dump(
+        donor_semantic
+    ), "a donor constant change must flag dependents"
 
 
 def test_changed_since_green_names_are_in_recheck_tier():
@@ -341,6 +411,23 @@ def test_changed_since_green_names_are_in_recheck_tier():
                 rel = os.path.relpath(p, REPO)
                 if _file_at(commit, rel) != open(p).read():
                     changed = True
+        # Mechanical cross-module oracle pins (ADVICE r11 item 2): a
+        # semantic change in a mapped donor module flags the dependent
+        # even though its own registration site is textually unchanged.
+        for donor_rel in getattr(
+            entry, "_CROSS_MODULE_ORACLE_DEPS", {}
+        ).get(name, ()):
+            donor_path = os.path.join(REPO, donor_rel)
+            cur_src = (
+                open(donor_path).read() if os.path.exists(donor_path) else None
+            )
+            old_src = _file_at(commit, donor_rel)
+            if cur_src is None or old_src is None:
+                changed = True
+            elif _module_semantic_dump(cur_src) != _module_semantic_dump(
+                old_src
+            ):
+                changed = True
         force = getattr(entry, "_RECHECK_FORCE", frozenset())
         if changed and name not in entry._RECHECK_FIRST:
             missing_from_tier[name] = f"changed since green r{round_no}"

@@ -213,6 +213,18 @@ def main() -> int:
     from whisky_wine_etl_spark.plans import round9a  # noqa: E402
 
     round9a.register()
+    # A typo'd subset must not read as "no saturation" (ADVICE r11):
+    # unknown names or an empty filtered list exit non-zero BEFORE any
+    # Spark work, instead of reporting worst=0.0 over zero probes.
+    if only is not None:
+        unknown = only - {n for n, _ in PROBES}
+        if unknown:
+            print(f"ERROR: unknown probe names: {sorted(unknown)}; "
+                  f"known: {sorted(n for n, _ in PROBES)}", file=sys.stderr)
+            return 2
+        if not only:
+            print("ERROR: empty probe-name filter", file=sys.stderr)
+            return 2
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     scaled = build_scaled_dir(spark, sf_dir, k)
     print(f"scaled dir: {scaled} (K={k})", flush=True)
