@@ -29,6 +29,38 @@ def test_shape_and_ranking_contract(spark):
     assert 0 < sum(weights) <= n
 
 
+def test_centroid_update_stays_inside_ieee_exact_envelope():
+    """ADVICE r11 item 3: the hash-exact contract between Spark's
+    integer centroid update (2s+n)//(2n) and the oracle's DOUBLE
+    FLOOR((2S+n)/(2n)) holds only while |2S+n| < 2^53 (every integer
+    below 2^53 is exact in an IEEE double and the quotient gap
+    argument in plans/round4c.py then applies). That precondition was
+    asserted in comments but never checked — a larger embeddings
+    fixture or a bigger quantization scale could silently break
+    bit-identity. Guard it at the LARGEST driver SF with the loosest
+    possible bound: even if every vector landed in one cluster,
+    2 * max_dim(sum|x~_dim|) + N stays inside the envelope."""
+    import duckdb
+
+    src = "read_parquet('/root/testdata/sf0.1/embeddings.parquet')"
+    (s_max,) = duckdb.sql(
+        f"""
+        SELECT MAX(sabs) FROM (
+          SELECT dim, SUM(ABS(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))) AS sabs
+          FROM (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM {src})
+          GROUP BY dim)
+        """
+    ).fetchone()
+    (n,) = duckdb.sql(f"SELECT COUNT(*) FROM {src}").fetchone()
+    # worst-case single-cluster sum per dim, wide margin demanded: the
+    # guard fires LONG before exactness actually breaks (margin 2^10)
+    assert 2 * s_max + n < 2**53 // 1024, (s_max, n)
+    # the quotient-gap side condition: n < ~4.5e9 clusters members
+    assert n < 4_500_000_000
+
+
 def test_deterministic_under_partitioning(spark):
     """Same bits regardless of input partitioning — the property the
     hash-exact oracle rests on (no FP, no RNG, order-free integers)."""

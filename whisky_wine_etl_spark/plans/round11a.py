@@ -139,7 +139,12 @@ def _kmeans_pll_refined_oracle(
     exactly like _kmeans_quant_oracle's iteration blocks
     (plans/round4c.py:383, same round-half-up centroid identity and
     tie rules). Exactness = the union of the two parents' arguments;
-    no new arithmetic appears anywhere."""
+    no new arithmetic appears anywhere. The DOUBLE-vs-integer
+    centroid identity's precondition (|2S+n| < 2^53, n < ~4.5e9) is
+    no longer comment-only: tests/test_kmeans_parallel_init.py::
+    test_centroid_update_stays_inside_ieee_exact_envelope checks the
+    worst-case single-cluster envelope at the largest driver SF with
+    a 2^10 safety margin (ADVICE r11 item 3)."""
     init = _kmeans_par_init_oracle(k, oversample, rounds, scale, seed)
     # keep only the shared CTE chain: cut the init oracle's final
     # SELECT and splice the seed table in as another CTE
