@@ -94,6 +94,26 @@ PROBES = [
     # growth should track the scaled customer side linearly)
     ("geo_grid_radius_join", "grid-cell equi-join radius search (r11)"),
     ("geo_haversine_nearest", "broadcast nearest-station argmin (r11)"),
+    # r12 (VERDICT r11 item 5): the streaming multibatch matrix — each
+    # shape replays a 3-file landing sequence through a real
+    # micro-batch stream; state (window/session store) must stay
+    # bounded by watermark eviction while input grows Kx
+    ("stream_tumbling_multibatch", "3-batch tumbling replay, watermark eviction (r12)"),
+    ("stream_sliding_multibatch", "3-batch sliding windows, overlapping state (r12)"),
+    ("stream_session_multibatch", "3-batch session windows, merge-on-gap state (r12)"),
+    ("stream_rocksdb_tumbling", "RocksDB state-store tumbling twin (r12)"),
+    ("stream_sink_exactly_once_chaos", "manifest sink under retry debris (r12)"),
+    # r12 (VERDICT r11 item 5): the remaining corpus-shaping shapes —
+    # scan-level hash filters, running prefix caps, explode upsample,
+    # iterative BPE agg, and the end-to-end chain
+    ("corpus_quality_gate", "scan-level quality gates, no shuffle (r12)"),
+    ("corpus_mixture_sample", "per-source hash-threshold sampling (r12)"),
+    ("corpus_token_budget", "running prefix-sum token cap (r12)"),
+    ("corpus_global_shuffle", "deterministic keyed global shuffle (r12)"),
+    ("corpus_repeat_upsample", "weight-driven explode upsample (r12)"),
+    ("corpus_bpe_train_rounds", "3-round vocab-bounded BPE trainer (r12)"),
+    ("corpus_bpe_apply", "merge-applied vocabulary encode join (r12)"),
+    ("corpus_pipeline", "end-to-end corpus shaping chain (r12)"),
 ]
 
 SCALED = {
