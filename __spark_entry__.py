@@ -78,13 +78,15 @@ def _verified_names() -> set[str]:
 # lands (the derivation test flags stale entries at the next round's
 # open, once the driver's CORRECTNESS file is committed).
 _RECHECK_FIRST: frozenset[str] = frozenset({
-    # r11 state: EMPTY. CORRECTNESS_r10 re-greened the full 27-name
-    # r10 tier hash-exact (17 CAST-migration spill + 8 rows-only->
-    # hash-exact graduations + er_fellegi_sunter's blocking fix +
-    # er_golden_record's cross-module force-pin), so every entry was
-    # drained and pruned at r11 open per the derivation gate's
-    # stale-entry assertion. Add names here the moment their Spark
-    # code or oracle changes after a green row.
+    # r12: stream_kmeans_assign registers inside a nested
+    # _register_stream_kmeans() (round11a.py:304), so the derivation
+    # gate's static extractor cannot see it and falls back to
+    # WHOLE-FILE text comparison of its module — and round11a.py
+    # gained a (docstring-only, semantically inert) 2^53-envelope note
+    # after the r11 green row. The gate correctly demands tier
+    # membership for any post-green file change it cannot prove inert;
+    # prune once CORRECTNESS_r12 re-greens it.
+    "stream_kmeans_assign",
 })
 
 # Tier members whose change the git-derived gate CANNOT see (their
