@@ -87,6 +87,18 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     # membership for any post-green file change it cannot prove inert;
     # prune once CORRECTNESS_r12 re-greens it.
     "stream_kmeans_assign",
+    # r12 optimization round: the Lloyd's update step was fused into
+    # one mapInPandas pass (operators/clustering.py:
+    # _kmeans_update_cells_quantized — bit-identical totals, proven by
+    # tests/test_kmeans_update_fused.py and a 6/6 hash-exact parity
+    # subset). The change lives in the OPERATOR module, which the
+    # plans-module fingerprint cannot see, so these four are
+    # force-pinned below; prune with the tier once CORRECTNESS_r12
+    # re-greens them.
+    "sim_kmeans_lloyd",
+    "sim_kmeans_pll_refined",
+    "sim_topk_ivf",
+    "dedup_semantic",
 })
 
 # Tier members whose change the git-derived gate CANNOT see (their
@@ -100,9 +112,16 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
 # oracled tier members. Remove together with the tier entry once the
 # driver re-greens them.
 _RECHECK_FORCE: frozenset[str] = frozenset({
-    # r11: empty — er_golden_record's force-pin (cross-module
-    # _fs_score_sql import, r10 comparator change) re-greened in
-    # CORRECTNESS_r10 and was cleared with the tier.
+    # r12: the quantized-kmeans fit loop's update step changed in
+    # operators/clustering.py (fused Arrow pass, results identical) —
+    # a change the plans-module fingerprint cannot see, so the
+    # dependents are force-pinned (same pattern as er_golden_record
+    # in r10). stream_kmeans_assign is NOT here: its whole-file
+    # fallback fingerprint sees round11a.py changes on its own.
+    "sim_kmeans_lloyd",
+    "sim_kmeans_pll_refined",
+    "sim_topk_ivf",
+    "dedup_semantic",
 })
 
 # Mechanical cross-module oracle pins (ADVICE r11 item 2). The

@@ -268,6 +268,79 @@ def kmeans_fit_assign_quantized(
     )
 
 
+def _kmeans_update_cells_quantized(
+    df: DataFrame, vec_col: str, centroids: list[list[int]], scale: int
+) -> list:
+    """One FUSED Arrow pass for the Lloyd's update step: quantize +
+    assign + per-batch partial (cluster, dim) int64 sums/counts inside
+    the same mapInPandas function, then one tiny groupBy over k·d
+    cells. Replaces the r11 shape — a full assignment UDF pass whose
+    output fed a JVM posexplode of every (row × dim) pair into a hash
+    aggregate — with a single Python crossing that ships the vector
+    column ONCE and emits k·d partial cells per Arrow batch (guide
+    §4.2: batch work in numpy; §2.3: aggregate before you shuffle —
+    the explode-side row count drops from rows·d to batches·k·d).
+
+    Bit-identity with the replaced path, term by term:
+    - quantization: np.floor(float64(x)·scale + 0.5) — the identical
+      single-IEEE-op-per-step chain the codegen `FLOOR(x·scale + 0.5)`
+      and the assignment UDF compute (same doubles in, same int64 out);
+    - assignment: the same int64 matmul argmin as
+      kmeans_assign_quantized._assign_dense (ties → lower cluster id);
+    - partials: int64 np.add.at sums + bincount — integer addition is
+      associative, so batch/task boundaries cannot change the totals
+      the final groupBy SUM returns;
+    - null/ragged vectors are excluded exactly like the replaced
+      `.filter(cluster IS NOT NULL)` (asserted equal, incl. null and
+      ragged rows, by tests/test_kmeans_update_fused.py).
+    Empty clusters simply have no cells, as before."""
+    k = len(centroids)
+    d = len(centroids[0])
+    cmat = np.array(centroids, dtype=np.int64)
+    c_sq = (cmat * cmat).sum(axis=1)
+    fscale = float(scale)
+    dims = np.arange(d, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            v = pdf[vec_col]
+            if len(v) == 0:
+                continue
+            valid = v.map(
+                lambda x: x is not None and len(x) == d
+            ).to_numpy(dtype=bool)
+            if not valid.any():
+                continue
+            raw = np.array(v[valid].to_list(), dtype=np.float64)
+            xs = np.floor(raw * fscale + 0.5).astype(np.int64)
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2 * (xs @ cmat.T)
+                + c_sq[None, :]
+            )
+            best = d2.argmin(axis=1)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, best, xs)
+            cnt = np.bincount(best, minlength=k).astype(np.int64)
+            nz = np.nonzero(cnt > 0)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz, d).astype("int32"),
+                    "dim": np.tile(dims, len(nz)).astype("int32"),
+                    "s": sums[nz].reshape(-1),
+                    "n": np.repeat(cnt[nz], d),
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(gen, "cluster int, dim int, s long, n long")
+        .groupBy("cluster", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
 def kmeans_fit_quantized(
     df: DataFrame,
     id_col: str,
@@ -292,22 +365,10 @@ def kmeans_fit_quantized(
     ]
 
     for _ in range(n_iter):
-        assigned = kmeans_assign_quantized(df, vec_col, centroids, scale)
-        cells = (
-            assigned.filter(F.col("cluster").isNotNull())
-            .select("cluster", F.posexplode(vec_col).alias("dim", "xf"))
-            .select(
-                "cluster",
-                "dim",
-                F.floor(
-                    F.col("xf").cast("double") * F.lit(float(scale))
-                    + F.lit(0.5)
-                ).alias("x"),
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        # fused assign+partial-cells Arrow pass (r12): bit-identical
+        # totals to the former assignment-UDF + posexplode/groupBy
+        # shape — see _kmeans_update_cells_quantized's identity notes
+        cells = _kmeans_update_cells_quantized(df, vec_col, centroids, scale)
         new_c = [list(c) for c in centroids]
         for r in cells:
             s, n = int(r["s"]), int(r["n"])
@@ -555,22 +616,9 @@ def kmeans_refine_quantized(
     df = df.select(id_col, vec_col)
     centroids = [list(c) for c in init_centroids]
     for _ in range(n_iter):
-        assigned = kmeans_assign_quantized(df, vec_col, centroids, scale)
-        cells = (
-            assigned.filter(F.col("cluster").isNotNull())
-            .select("cluster", F.posexplode(vec_col).alias("dim", "xf"))
-            .select(
-                "cluster",
-                "dim",
-                F.floor(
-                    F.col("xf").cast("double") * F.lit(float(scale))
-                    + F.lit(0.5)
-                ).alias("x"),
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        # fused assign+partial-cells Arrow pass (r12) — identical
+        # totals; see _kmeans_update_cells_quantized
+        cells = _kmeans_update_cells_quantized(df, vec_col, centroids, scale)
         new_c = [list(c) for c in centroids]
         for r in cells:
             s, n = int(r["s"]), int(r["n"])
