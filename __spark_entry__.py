@@ -99,6 +99,28 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "sim_kmeans_pll_refined",
     "sim_topk_ivf",
     "dedup_semantic",
+    # r12: multi-consumer lazy frames materialized once (guide §2.4) —
+    # plan-module edits the gate sees directly:
+    "graph_jaccard_brand",
+    "graph_hits_authorities",
+    "graph_modularity_brand",
+    "rec_item_item_cosine",
+    # r12: operators/dedup.py gained localCheckpoints in
+    # jaccard_pairs/containment_pairs (same §2.4 fix; results
+    # identical — the operator output is a pure function of its
+    # inputs). The three LSH names are donor-mapped
+    # (_CROSS_MODULE_ORACLE_DEPS) so the gate flags them itself; the
+    # six jaccard/containment callers are invisible to it and
+    # force-pinned below.
+    "dedup_minhash_lsh",
+    "dedup_clusters_lsh",
+    "dedup_canonical_summary_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
+    "dedup_clusters",
+    "dedup_canonical_summary",
+    "dedup_containment",
+    "dedup_containment_capped",
 })
 
 # Tier members whose change the git-derived gate CANNOT see (their
@@ -122,6 +144,15 @@ _RECHECK_FORCE: frozenset[str] = frozenset({
     "sim_kmeans_pll_refined",
     "sim_topk_ivf",
     "dedup_semantic",
+    # r12: jaccard_pairs/containment_pairs gained localCheckpoints in
+    # operators/dedup.py — invisible to the plans fingerprint for
+    # these six callers (the LSH trio is donor-mapped instead):
+    "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
+    "dedup_clusters",
+    "dedup_canonical_summary",
+    "dedup_containment",
+    "dedup_containment_capped",
 })
 
 # Mechanical cross-module oracle pins (ADVICE r11 item 2). The

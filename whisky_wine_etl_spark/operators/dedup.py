@@ -117,6 +117,13 @@ def jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle")
+    if not prefix_filter:
+        # r12: the (optionally capped) shingle frame feeds three
+        # consumers below (sizes + both sides of the intersection
+        # self-join) — materialize the explode+distinct once instead
+        # of once per consumer (guide §2.4; the prefix path has
+        # checkpointed its own sh since r4). Blocks are freed on GC.
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     if prefix_filter:
@@ -728,11 +735,17 @@ def containment_pairs(
     only for pairs whose every common shingle is ultra-frequent.
     Sizes are computed BEFORE pruning so the denominator stays the
     true shingle-set size."""
-    sh = shingles(df, text_col, id_col, n)
+    # r12: the shingle frame feeds sizes, the optional stop-shingle
+    # frequency pass, AND both sides of the intersection self-join —
+    # materialize the explode+distinct once instead of once per
+    # consumer (guide §2.4; same fix as jaccard_pairs). The capped
+    # variant re-materializes the pruned frame for the self-join's
+    # two sides so the cap's groupBy also runs once.
+    sh = shingles(df, text_col, id_col, n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq is not None:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(keep.select("shingle"), "shingle")
+        sh = sh.join(keep.select("shingle"), "shingle").localCheckpoint()
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (

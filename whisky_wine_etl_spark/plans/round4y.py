@@ -148,7 +148,11 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond what their popularity predicts."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    e = copurchase_edges(li)
+    # r12: e feeds three consumers (the m scalar, deg's union, the
+    # intra count) — materialize the basket build + distinct once
+    # instead of once per consumer (guide §2.4, same fix as
+    # graph_jaccard_brand's measured 2x)
+    e = copurchase_edges(li).localCheckpoint(eager=True)
     m = e.agg(F.count(F.lit(1)).cast("double").alias("m"))
     deg = (
         e.select(F.col("pa").alias("p"))

@@ -257,9 +257,23 @@ def graph_jaccard_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .distinct()
     )
-    edges = e1.select(
-        "brand", F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionAll(e1.select("brand", F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    edges = (
+        e1.select(
+            "brand", F.col("pa").alias("src"), F.col("pb").alias("dst")
+        )
+        .unionAll(
+            e1.select(
+                "brand", F.col("pb").alias("src"), F.col("pa").alias("dst")
+            )
+        )
+        # r12: edges feeds FOUR subtrees (deg→du, deg→dv, and both
+        # sides of the common-neighbor self-join); left lazy, the
+        # whole lineitem⋈part + basket + explode + distinct pipeline
+        # re-ran per consumer (the union defeats runtime exchange
+        # reuse). Materializing once measured 7.7 s → 3.8 s median at
+        # sf0.1 (guide §2.4: remove repeated upstream work outright).
+        .localCheckpoint(eager=True)
+    )
     deg = edges.groupBy("brand", F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
