@@ -105,6 +105,8 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "graph_hits_authorities",
     "graph_modularity_brand",
     "rec_item_item_cosine",
+    "dedup_chunk_overlap",
+    "corpus_duplicate_spans",
     # r12: operators/dedup.py gained localCheckpoints in
     # jaccard_pairs/containment_pairs (same §2.4 fix; results
     # identical — the operator output is a pure function of its

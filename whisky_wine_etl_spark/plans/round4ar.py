@@ -211,11 +211,17 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim in the oracle, so the pruning is verified, not waved
     at."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r12: h feeds the document-frequency pass AND (via hh) both sides
+    # of the posting-list self-join — left lazy, the Arrow CDC chunker
+    # re-ran once per consumer. Materializing h (and the pruned hh the
+    # self-join reads twice) measured 8.2 -> 2.5 s median at sf0.1
+    # (guide §2.4; blocks freed on GC).
     h = (
         cdc_chunk_frame(docs)
         .filter(F.length("chunk") >= 8)
         .select("doc_id", F.md5("chunk").alias("ch_md5"))
         .distinct()
+        .localCheckpoint()
     )
     ok = (
         h.groupBy("ch_md5")
@@ -223,7 +229,7 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df").between(2, 50))
         .select("ch_md5")
     )
-    hh = h.join(ok, "ch_md5")
+    hh = h.join(ok, "ch_md5").localCheckpoint()
     a = hh.select(F.col("doc_id").alias("doc_a"), "ch_md5")
     b = hh.select(F.col("doc_id").alias("doc_b"), "ch_md5")
     return (
