@@ -107,6 +107,9 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
     "rec_item_item_cosine",
     "dedup_chunk_overlap",
     "corpus_duplicate_spans",
+    "sketch_kmv_intersection",
+    "sketch_kmv_distinct",
+    "events_dau_wau_mau",
     # r12: operators/dedup.py gained localCheckpoints in
     # jaccard_pairs/containment_pairs (same §2.4 fix; results
     # identical — the operator output is a pure function of its

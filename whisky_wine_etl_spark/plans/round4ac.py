@@ -69,7 +69,14 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     day) are clipped by the grid join so every reported day has a
     complete window."""
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    # r12: ud feeds the grid, the DAU aggregate and both trailing
+    # shadows — materialize the (user, day) distinct once instead of
+    # once per consumer (guide §2.4)
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     grid = ud.select("d").distinct()
 
     def trailing(horizon: int, name: str) -> DataFrame:

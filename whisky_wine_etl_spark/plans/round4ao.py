@@ -228,7 +228,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row (|rel_err| observed ≈2% at k=256)."""
     li = load_table(spark, sf_dir, "lineitem")
     d = li.select(F.col("l_returnflag").alias("grp"), "l_partkey").distinct()
-    h = d.select("grp", F.md5(F.col("l_partkey").cast("string")).alias("hx"))
+    # r12: h feeds the per-group sketch AND the merged '__all' sketch
+    # (plus the exact-count audit) — materialize the distinct+md5 once
+    # (guide §2.4)
+    h = d.select(
+        "grp", F.md5(F.col("l_partkey").cast("string")).alias("hx")
+    ).localCheckpoint(eager=True)
     per_group = bottom_k(h)
     merged = bottom_k(
         h.select(F.lit("__all").alias("grp"), "hx").distinct()

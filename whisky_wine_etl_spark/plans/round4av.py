@@ -82,8 +82,21 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection computed alongside."""
     li = load_table(spark, sf_dir, "lineitem")
     hx = F.md5(F.col("l_partkey").cast("string")).alias("hx")
-    a = li.filter(F.col("l_returnflag") == "A").select(hx).distinct()
-    b = li.filter(F.col("l_returnflag") == "N").select(hx).distinct()
+    # r12: each side feeds the union sketch, the membership flags AND
+    # the exact-intersection audit — materialize the filtered distinct
+    # once per side instead of once per consumer (guide §2.4)
+    a = (
+        li.filter(F.col("l_returnflag") == "A")
+        .select(hx)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        li.filter(F.col("l_returnflag") == "N")
+        .select(hx)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     u = (
         a.unionByName(b)
         .distinct()
