@@ -78,48 +78,56 @@ def _verified_names() -> set[str]:
 # lands (the derivation test flags stale entries at the next round's
 # open, once the driver's CORRECTNESS file is committed).
 _RECHECK_FIRST: frozenset[str] = frozenset({
-    # r12: stream_kmeans_assign registers inside a nested
-    # _register_stream_kmeans() (round11a.py:304), so the derivation
-    # gate's static extractor cannot see it and falls back to
-    # WHOLE-FILE text comparison of its module — and round11a.py
-    # gained a (docstring-only, semantically inert) 2^53-envelope note
-    # after the r11 green row. The gate correctly demands tier
-    # membership for any post-green file change it cannot prove inert;
-    # prune once CORRECTNESS_r12 re-greens it.
-    "stream_kmeans_assign",
-    # r12 optimization round: the Lloyd's update step was fused into
-    # one mapInPandas pass (operators/clustering.py:
-    # _kmeans_update_cells_quantized — bit-identical totals, proven by
-    # tests/test_kmeans_update_fused.py and a 6/6 hash-exact parity
-    # subset). The change lives in the OPERATOR module, which the
-    # plans-module fingerprint cannot see, so these four are
-    # force-pinned below; prune with the tier once CORRECTNESS_r12
-    # re-greens them.
+    # (The r12 pins all re-greened in CORRECTNESS_r12 and were pruned
+    # at r13 open, per the tier's drain rule.)
+    #
+    # r13 (ADVICE r12 item 1): dedup_clusters_star is the SEVENTH
+    # jaccard_pairs caller (plans/round3.py:567) — green since
+    # CORRECTNESS_r09, i.e. BEFORE the r12 operators/dedup.py
+    # localCheckpoint change, and invisible to the plans-module
+    # fingerprint just like its six siblings were. Pin it so its stale
+    # green row re-verifies; prune once a new row lands.
+    "dedup_clusters_star",
+    # r13 (ADVICE r12 item 2): the fused Lloyd's-update kernel
+    # (operators/clustering.py:_kmeans_update_cells_quantized) gained
+    # the element-null legacy mask AFTER these names' r12 green rows.
+    # Results are identical on the shipped data (no vector carries
+    # null elements — pinned by tests/test_kmeans_update_fused.py and
+    # the r13 parity sweep), but the change lives in the OPERATOR
+    # module the plans fingerprint cannot see, so the dependents are
+    # force-pinned below; prune once CORRECTNESS_r13 re-greens them.
     "sim_kmeans_lloyd",
     "sim_kmeans_pll_refined",
     "sim_topk_ivf",
     "dedup_semantic",
-    # r12: multi-consumer lazy frames materialized once (guide §2.4) —
-    # plan-module edits the gate sees directly:
-    "graph_jaccard_brand",
-    "graph_hits_authorities",
-    "graph_modularity_brand",
-    "rec_item_item_cosine",
-    "dedup_chunk_overlap",
+    "stream_kmeans_assign",
+    # r13 job-folding + materialization-policy edits (eager=False
+    # localCheckpoints / materialize() tier, results identical —
+    # 404/404 r13 parity sweep): plan-module edits the gate sees
+    # directly…
+    "corpus_bpe_train_rounds",
     "corpus_duplicate_spans",
-    "sketch_kmv_intersection",
-    "sketch_kmv_distinct",
+    "dedup_chunk_overlap",
     "events_dau_wau_mau",
-    # r12: operators/dedup.py gained localCheckpoints in
-    # jaccard_pairs/containment_pairs (same §2.4 fix; results
-    # identical — the operator output is a pure function of its
-    # inputs). The three LSH names are donor-mapped
-    # (_CROSS_MODULE_ORACLE_DEPS) so the gate flags them itself; the
-    # six jaccard/containment callers are invisible to it and
-    # force-pinned below.
+    "graph_bfs_distance",
+    "graph_hits_authorities",
+    "graph_jaccard_brand",
+    "graph_jaccard_skew_capped",
+    "graph_kcore",
+    "graph_pagerank_copurchase",
+    "graph_sssp_weighted",
+    "rec_item_item_cosine",
+    "sim_dbscan_embedding",
+    "sim_kcenter_greedy",
+    "sim_mmr_rerank",
+    "sketch_kmv_distinct",
+    "source_format_fidelity_matrix",
+    # …the donor-mapped LSH trio the gate flags via operators/dedup.py…
     "dedup_minhash_lsh",
     "dedup_clusters_lsh",
     "dedup_canonical_summary_lsh",
+    # …and the operator-invisible jaccard/containment/CC callers of
+    # the same operators/dedup.py edits, force-pinned below.
     "dedup_ngram_jaccard",
     "dedup_ngram_capped",
     "dedup_clusters",
@@ -139,17 +147,22 @@ _RECHECK_FIRST: frozenset[str] = frozenset({
 # oracled tier members. Remove together with the tier entry once the
 # driver re-greens them.
 _RECHECK_FORCE: frozenset[str] = frozenset({
-    # r12: the quantized-kmeans fit loop's update step changed in
-    # operators/clustering.py (fused Arrow pass, results identical) —
-    # a change the plans-module fingerprint cannot see, so the
-    # dependents are force-pinned (same pattern as er_golden_record
-    # in r10). stream_kmeans_assign is NOT here: its whole-file
-    # fallback fingerprint sees round11a.py changes on its own.
+    # r13: the quantized-kmeans update kernel changed again in
+    # operators/clustering.py (element-null legacy mask, ADVICE r12
+    # item 2; results identical) — a change the plans-module
+    # fingerprint cannot see, so the dependents are force-pinned
+    # (same pattern as the r12 fused-pass pins). stream_kmeans_assign
+    # is included: its donor map covers round4c.py (the shared oracle
+    # text), not the operator module its fit loop executes.
     "sim_kmeans_lloyd",
     "sim_kmeans_pll_refined",
     "sim_topk_ivf",
     "dedup_semantic",
-    # r12: jaccard_pairs/containment_pairs gained localCheckpoints in
+    "stream_kmeans_assign",
+    # r13: the seventh jaccard_pairs caller (see _RECHECK_FIRST note).
+    "dedup_clusters_star",
+    # r13: jaccard_pairs/containment_pairs/connected_components gained
+    # the materialize() policy + eager=False folding in
     # operators/dedup.py — invisible to the plans fingerprint for
     # these six callers (the LSH trio is donor-mapped instead):
     "dedup_ngram_jaccard",

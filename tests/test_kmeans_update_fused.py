@@ -47,6 +47,12 @@ def vec_df(spark):
         rows.append((i, [((i * 37 + j * 11) % 97) / 9.7 for j in range(8)]))
     rows.append((900, None))  # null vector: excluded from the update
     rows.append((901, [1.0, 2.0]))  # ragged vector: excluded too
+    # r13 (ADVICE r12 item 2): correct-length vector with NULL
+    # *elements* — the legacy posexplode path skipped the element in
+    # F.sum but still counted the row in count(1) for every dim; the
+    # fused pass must reproduce that cell exactly (mask the sums, keep
+    # the count) instead of summing the NaN->int64 garbage cast.
+    rows.append((902, [3.0, None, 5.0, None, 7.0, 8.0, 9.0, 1.5]))
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
     ).repartition(7)

@@ -38,6 +38,7 @@ def main() -> int:
     ap.add_argument("--explain-tag", default="")
     ap.add_argument("--no-time", action="store_true")
     ap.add_argument("--out", default="")
+    ap.add_argument("--plan-dir", default="r13")
     args = ap.parse_args()
 
     import bench
@@ -58,7 +59,7 @@ def main() -> int:
 
     full_table_results = {"wine_pipeline"}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(here, "plans", "r12")
+    plan_dir = os.path.join(here, "plans", args.plan_dir)
     if args.explain_tag:
         os.makedirs(plan_dir, exist_ok=True)
 

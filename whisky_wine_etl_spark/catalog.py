@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,15 +61,17 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 # methodology rebuilds every DataFrame from the registry per timed
 # pass — measured at sf0.1 that footer probe costs 130-850 ms per
 # read call vs 20-100 ms with an explicit schema (r12, guide §6:
-# metadata work, not data work). Keyed by (path, mtime_ns, size) so a
+# metadata work, not data work). Keyed by path; the stored value
+# carries the (mtime_ns, size) identity it was inferred from, so a
 # REGENERATED file — the driver rewrites testdata between rounds,
-# possibly with a different physical type — invalidates the entry
-# instead of serving a stale schema (same contract as
-# streaming.pipelines._events_raw_schema). This caches METADATA only:
-# every action still scans the parquet bytes. At 100 TB the analogue
-# is reading the table schema from the catalog/manifest instead of
-# re-sampling footers per query.
-_schema_cache: dict[tuple, object] = {}
+# possibly with a different physical type — REPLACES the entry
+# instead of accreting stale ones (ADVICE r12 item 3), and an
+# LRU bound caps total growth in any long-lived driver. This caches
+# METADATA only: every action still scans the parquet bytes. At
+# 100 TB the analogue is reading the table schema from the
+# catalog/manifest instead of re-sampling footers per query.
+_schema_cache: OrderedDict[str, tuple[tuple[int, int], object]] = OrderedDict()
+_SCHEMA_CACHE_MAX = 256
 
 # Leaf-DataFrame cache, layered on the schema cache: the remaining
 # per-call cost after schema reuse is relation construction itself
@@ -81,41 +84,61 @@ _schema_cache: dict[tuple, object] = {}
 # reuse, the thing bench.py's rebuild-per-pass rule exists to prevent,
 # cannot occur below the first exchange, and every exchange lives in
 # the per-query plans built ON TOP of this leaf). Keyed by the session
-# OBJECT (a DataFrame is session-bound — temp views, confs) plus the
-# same file identity as the schema cache.
-_df_cache: dict[tuple, DataFrame] = {}
+# IDENTITY (a DataFrame is session-bound — temp views, confs) plus
+# path; the stored value carries the file identity, so a regenerated
+# file replaces its entry in place. Growth is LRU-bounded (ADVICE r12
+# item 3): a stopped session's leaf DataFrames stay pinned only until
+# their ≤_DF_CACHE_MAX slots recycle, instead of for the process
+# lifetime. (A weak keying on the session cannot work here: the cached
+# DataFrame strongly references its session, so any entry would keep
+# its own weak key alive — the LRU bound is the honest fix. id() reuse
+# after GC is not a hazard for live lookups: an entry's stored
+# DataFrame pins its session, so that id stays taken while the entry
+# exists.)
+_df_cache: OrderedDict[tuple[int, str], tuple[tuple[int, int], DataFrame]] = (
+    OrderedDict()
+)
+_DF_CACHE_MAX = 64
 
 
-def _cached_schema(spark: SparkSession, path: str):
-    st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    schema = _schema_cache.get(key)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _schema_cache[key] = schema
+def _cached_schema(spark: SparkSession, path: str, ident: tuple[int, int]):
+    hit = _schema_cache.get(path)
+    if hit is not None and hit[0] == ident:
+        _schema_cache.move_to_end(path)
+        return hit[1]
+    schema = spark.read.parquet(path).schema
+    _schema_cache[path] = (ident, schema)
+    _schema_cache.move_to_end(path)
+    while len(_schema_cache) > _SCHEMA_CACHE_MAX:
+        _schema_cache.popitem(last=False)
     return schema
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     st = os.stat(path)
-    key = (spark, path, st.st_mtime_ns, st.st_size)
-    df = _df_cache.get(key)
-    if df is not None:
-        return df
+    ident = (st.st_mtime_ns, st.st_size)
+    key = (id(spark), path)
+    hit = _df_cache.get(key)
+    if hit is not None and hit[0] == ident:
+        _df_cache.move_to_end(key)
+        return hit[1]
     if name == "events":
         # nanosAsLong is harmless for µs files and required for nanos
         # ones; set it for the footer read, then normalize by type.
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
-            df = spark.read.schema(_cached_schema(spark, path)).parquet(path)
+            df = spark.read.schema(_cached_schema(spark, path, ident)).parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         df = normalize_event_ts(df)
     else:
-        df = spark.read.schema(_cached_schema(spark, path)).parquet(path)
-    _df_cache[key] = df
+        df = spark.read.schema(_cached_schema(spark, path, ident)).parquet(path)
+    _df_cache[key] = (ident, df)
+    _df_cache.move_to_end(key)
+    while len(_df_cache) > _DF_CACHE_MAX:
+        _df_cache.popitem(last=False)
     return df
 
 

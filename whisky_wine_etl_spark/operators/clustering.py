@@ -292,7 +292,17 @@ def _kmeans_update_cells_quantized(
       the final groupBy SUM returns;
     - null/ragged vectors are excluded exactly like the replaced
       `.filter(cluster IS NOT NULL)` (asserted equal, incl. null and
-      ragged rows, by tests/test_kmeans_update_fused.py).
+      ragged rows, by tests/test_kmeans_update_fused.py);
+    - NULL *elements* inside a correct-length vector (ADVICE r12):
+      the replaced posexplode path emitted SQL NULL for that element —
+      skipped by F.sum but still counted by the row-grain
+      `F.count(lit(1))` — while np.array turns None into NaN whose
+      int64 cast is platform garbage. The fused pass reproduces the
+      legacy cell exactly: non-finite elements contribute 0 to `s`
+      (masked before the scatter-add) and the row still counts toward
+      `n` for every dim. Assignment of such rows keeps the identical
+      quantize-garbage argmin chain `_assign_dense` computes, so the
+      cluster choice matches the replaced path bit for bit.
     Empty clusters simply have no cells, as before."""
     k = len(centroids)
     d = len(centroids[0])
@@ -312,7 +322,9 @@ def _kmeans_update_cells_quantized(
             if not valid.any():
                 continue
             raw = np.array(v[valid].to_list(), dtype=np.float64)
-            xs = np.floor(raw * fscale + 0.5).astype(np.int64)
+            finite = np.isfinite(raw)
+            with np.errstate(invalid="ignore"):
+                xs = np.floor(raw * fscale + 0.5).astype(np.int64)
             d2 = (
                 (xs * xs).sum(axis=1, keepdims=True)
                 - 2 * (xs @ cmat.T)
@@ -320,7 +332,11 @@ def _kmeans_update_cells_quantized(
             )
             best = d2.argmin(axis=1)
             sums = np.zeros((k, d), dtype=np.int64)
-            np.add.at(sums, best, xs)
+            # legacy-cell identity for element-level NULLs: mask the
+            # garbage-cast dims out of the sums (posexplode emitted SQL
+            # NULL there, skipped by F.sum) but keep the row in every
+            # dim's count (the legacy count was row-grain count(1))
+            np.add.at(sums, best, np.where(finite, xs, 0))
             cnt = np.bincount(best, minlength=k).astype(np.int64)
             nz = np.nonzero(cnt > 0)[0]
             yield pd.DataFrame(

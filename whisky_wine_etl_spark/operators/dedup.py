@@ -35,6 +35,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.functions.vector import cosine
+from whisky_wine_etl_spark.materialize import materialize
 
 MERSENNE31 = (1 << 31) - 1  # prime modulus; keeps (a*h+b) inside int64
 # Second prime + Horner bases for the engine-portable shingle hash
@@ -123,7 +124,11 @@ def jaccard_pairs(
         # self-join) — materialize the explode+distinct once instead
         # of once per consumer (guide §2.4; the prefix path has
         # checkpointed its own sh since r4). Blocks are freed on GC.
-        sh = sh.localCheckpoint()
+        # eager=False (r13): the caller's first action materializes it
+        # — persist-once semantics unchanged, one setup job folded.
+        # fact_scale: the shingle frame grows with the corpus, so the
+        # 100 TB tier is policy-selected (materialize.py).
+        sh = materialize(sh, fact_scale=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     if prefix_filter:
@@ -330,7 +335,7 @@ def minhash_lsh_pairs(
     sh = (
         shingle_hash_arrays(df, text_col, id_col, n)
         .withColumn("hp_arr", F.expr(f"transform(sh_arr, h -> pmod(h, {MERSENNE31}L))"))
-        .localCheckpoint()
+        .transform(lambda d: materialize(d, fact_scale=True))
     )
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, sh=sh)
     n_bands = num_hashes // rows_per_band
@@ -351,7 +356,8 @@ def minhash_lsh_pairs(
                 f"transform(sequence(0, {n_bands - 1}), bi -> {band_bucket})"
             )
         ).alias("band", "bucket"),
-    ).localCheckpoint()
+    )
+    bands = materialize(bands, fact_scale=True)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -566,7 +572,14 @@ def connected_components(
             labels.select("node")
         )
         singletons = iso.select("node", F.col("node").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    # eager=False: the convergence aggregate on the next line is the
+    # round's unavoidable action — let IT materialize the checkpoint
+    # (localCheckpoint is persist-based, so the first action computes
+    # and pins the blocks; later consumers read them) instead of
+    # paying a separate eager job per round (r13, guide §1.2: the
+    # per-round fixed cost IS the bottleneck for these node-scale
+    # frames — this halves the jobs per round with an identical plan).
+    labels = labels.localCheckpoint(eager=False)
     label_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     converged = False
@@ -584,7 +597,7 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the sum below
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
@@ -741,11 +754,14 @@ def containment_pairs(
     # consumer (guide §2.4; same fix as jaccard_pairs). The capped
     # variant re-materializes the pruned frame for the self-join's
     # two sides so the cap's groupBy also runs once.
-    sh = shingles(df, text_col, id_col, n).localCheckpoint()
+    # eager=False (r13): the caller's first action materializes the
+    # chain — persist-once semantics unchanged, setup jobs folded.
+    # fact_scale: shingle frames grow with the corpus (materialize.py).
+    sh = materialize(shingles(df, text_col, id_col, n), fact_scale=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq is not None:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(keep.select("shingle"), "shingle").localCheckpoint()
+        sh = materialize(sh.join(keep.select("shingle"), "shingle"), fact_scale=True)
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -795,11 +811,15 @@ def connected_components_star(
     the edge frame so the plan does not grow with the iteration count
     (cluster deployments: setCheckpointDir + checkpoint()).
     """
-    edges = (
+    # eager=False: the isEmpty/checksum action right below is the
+    # materializing job (r13 — same job-folding note as
+    # connected_components; one job per round instead of two).
+    # fact_scale: the input pair graph grows with the corpus.
+    edges = materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        fact_scale=True,
     )
 
     out_name = id_a.replace("_a", "_id")
@@ -813,7 +833,11 @@ def connected_components_star(
                 .distinct()
             )
             .select("node", F.col("node").alias("label"))
-            .localCheckpoint(eager=True)
+            # eager=False: consumed once, by the final union after
+            # convergence — that action materializes it; its plan
+            # reads the already-checkpointed edge frame, so deferring
+            # re-runs nothing expensive (r13 job folding)
+            .localCheckpoint(eager=False)
         )
 
     def checksum(e: DataFrame) -> tuple:
@@ -860,7 +884,8 @@ def connected_components_star(
     for _ in range(max_rounds):
         if converged:
             break
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # eager=False: the checksum on the next line materializes it
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         cur = checksum(edges)
         if cur == prev:
             converged = True

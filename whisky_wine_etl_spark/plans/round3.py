@@ -1253,18 +1253,25 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .distinct()
     )
+    # eager=False checkpoints throughout (r13): materialize-once
+    # semantics are unchanged (localCheckpoint is persist-backed — the
+    # first action to touch each frame computes and pins it; every
+    # later consumer reads the blocks), but the materializing job is
+    # the one the query must run anyway (n_nodes count, the per-round
+    # broadcast builds, the final collect) instead of one extra eager
+    # job per frame. Plan shapes and results are identical.
     edges = (
         e1.unionAll(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # the degree table IS the node set (every node has an edge), so
     # nodes/n_nodes come from deg for free — no separate distinct
     deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_nodes = deg.count()
+    n_nodes = deg.count()  # materializes edges + deg in one job
     # (src, dst, d): degree attached once and MATERIALIZED, hash-
     # partitioned on src — without the checkpoint each iteration
     # re-runs the edges⋈deg join (two edge-scale shuffles per round);
@@ -1272,7 +1279,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row per node) against the already-partitioned edge list
     contrib_src = edges.join(
         deg.withColumnRenamed("node", "src"), "src"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for it in range(3):
         # the symmetrized graph gives every node ≥1 incoming edge, so
@@ -1300,8 +1307,9 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it < 2:
             # cut lineage between rounds; the LAST round's result is
             # consumed exactly once by the caller, so materializing it
-            # here would only add a pass
-            ranks = ranks.localCheckpoint(eager=True)
+            # here would only add a pass. eager=False: the next
+            # round's broadcast build materializes it (r13 job fold)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         F.col("node").alias("l_partkey"),
         F.round(F.col("r") * 1000, 6).alias("pagerank_x1000"),

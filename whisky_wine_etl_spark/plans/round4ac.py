@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.materialize import materialize
 from whisky_wine_etl_spark.plans.registry import query
 
 
@@ -75,7 +76,9 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = (
         ev.select("user_id", F.col("ts").cast("date").alias("d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # r13: eager=False + policy tier ((user, day) frame is
+        # fact-scale); the final collect materializes it
+        .transform(lambda d: materialize(d, fact_scale=True))
     )
     grid = ud.select("d").distinct()
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.materialize import materialize
 from whisky_wine_etl_spark.operators import similarity as sim
 from whisky_wine_etl_spark.plans.registry import query
 
@@ -231,9 +232,10 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: h feeds the per-group sketch AND the merged '__all' sketch
     # (plus the exact-count audit) — materialize the distinct+md5 once
     # (guide §2.4)
-    h = d.select(
-        "grp", F.md5(F.col("l_partkey").cast("string")).alias("hx")
-    ).localCheckpoint(eager=True)
+    h = materialize(
+        d.select("grp", F.md5(F.col("l_partkey").cast("string")).alias("hx")),
+        fact_scale=True,
+    )
     per_group = bottom_k(h)
     merged = bottom_k(
         h.select(F.lit("__all").alias("grp"), "hx").distinct()

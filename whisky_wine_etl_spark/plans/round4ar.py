@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.materialize import materialize
 from whisky_wine_etl_spark.functions.rounding import pinned
 from whisky_wine_etl_spark.plans.registry import query
 
@@ -221,7 +222,9 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("chunk") >= 8)
         .select("doc_id", F.md5("chunk").alias("ch_md5"))
         .distinct()
-        .localCheckpoint()
+        # r13: eager=False + policy tier (chunk-hash frame is
+        # fact-scale); the final collect materializes the chain
+        .transform(lambda d: materialize(d, fact_scale=True))
     )
     ok = (
         h.groupBy("ch_md5")
@@ -229,7 +232,7 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df").between(2, 50))
         .select("ch_md5")
     )
-    hh = h.join(ok, "ch_md5").localCheckpoint()
+    hh = materialize(h.join(ok, "ch_md5"), fact_scale=True)
     a = hh.select(F.col("doc_id").alias("doc_a"), "ch_md5")
     b = hh.select(F.col("doc_id").alias("doc_b"), "ch_md5")
     return (

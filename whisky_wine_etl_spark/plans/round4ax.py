@@ -190,14 +190,17 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"
             )
         )
-        .localCheckpoint(eager=True)
+        # eager=False checkpoints throughout (r13): the src scalar and
+        # each round's frontier count are the materializing actions —
+        # same persist-once semantics, 1 job per round instead of 4
+        .localCheckpoint(eager=False)
     )
     src = e.agg(F.min("src")).collect()[0][0]  # O(1) driver scalar
 
     spark_ = li.sparkSession
     dist = spark_.createDataFrame(
         [(src, 0.0)], "node long, dist double"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = dist
     bcast_limit = 2_000_000
     frontier_n = 1
@@ -219,7 +222,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("dist", "d2").alias("new_dist"),
                 F.col("dist").alias("old_dist"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         improved = merged.filter(
             F.col("old_dist").isNull()
@@ -227,8 +230,10 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("node", F.col("new_dist").alias("dist"))
         dist = merged.select(
             "node", F.col("new_dist").alias("dist")
-        ).localCheckpoint(eager=True)
-        frontier = improved.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        frontier = improved.localCheckpoint(eager=False)
+        # the count materializes frontier and (through its lineage)
+        # this round's merged checkpoint in the same job
         frontier_n = frontier.count()
         if frontier_n == 0:
             break

@@ -151,10 +151,15 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wc = W.orderBy(F.col("rel").desc(), "vec_id")
+    # two consumers read cand (the rel collect and, via ce, the pairs
+    # collect) — without the checkpoint the corpus-wide scored pass +
+    # global window runs twice (r13, guide §2.4). eager=False: the rel
+    # collect right below is the materializing action.
     cand = (
         scored.withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= _N_CAND)
         .drop("rk")
+        .localCheckpoint(eager=False)
     )
     ce = cand.join(emb, "vec_id").select(
         "vec_id", "rel", "embedding", norm(F.col("embedding")).alias("nn")

@@ -93,11 +93,15 @@ def sim_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nn")
     )
-    emb = emb.localCheckpoint()  # GC-cleaned, unlike persist (ADVICE r4)
+    # eager=False checkpoints (r13): each greedy step's checkpoint is
+    # materialized by the next step's broadcast build (and ultimately
+    # the final collect) — same persist-once semantics and identical
+    # per-step plans, but the 4 per-step eager jobs fold away.
+    emb = emb.localCheckpoint(eager=False)  # GC-cleaned, unlike persist
     first = emb.agg(F.min("vec_id").alias("vec_id")).select(
         "vec_id", F.lit(1).alias("rnk"), F.lit(0.0).alias("dnear")
     )
-    sel = first.localCheckpoint(eager=True)
+    sel = first.localCheckpoint(eager=False)
     for k in range(2, _KC + 1):
         centers = sel.join(emb, "vec_id").select(
             F.col("vec_id").alias("c_id"),
@@ -129,7 +133,7 @@ def sim_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("vec_id", F.lit(k).alias("rnk"), "dnear")
         )
-        sel = sel.unionAll(far).localCheckpoint(eager=True)
+        sel = sel.unionAll(far).localCheckpoint(eager=False)
     return sel.select(
         "rnk", "vec_id", F.round("dnear", 6).alias("dist_to_nearest")
     )

@@ -66,12 +66,17 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetric closure via ONE orderkey shuffle (basket combination
     # emission, operators/graph.py) — each round then needs a single
     # frontier⋈edges join instead of a forward + backward pair
-    e = copurchase_edges(li, both_directions=True).localCheckpoint(eager=True)
-    # O(1) driver scalar: the BFS source
+    # eager=False checkpoints throughout (r13): every frame here is
+    # followed by an unavoidable action (the src scalar, each round's
+    # frontier count, the final collect) — let that action materialize
+    # the persist-backed checkpoint instead of paying one extra eager
+    # job per frame per round; plans and results are identical.
+    e = copurchase_edges(li, both_directions=True).localCheckpoint(eager=False)
+    # O(1) driver scalar: the BFS source (materializes e)
     src = e.agg(F.min("src")).collect()[0][0]
     spark_ = li.sparkSession
-    frontier = spark_.createDataFrame([(src,)], "node long").localCheckpoint(eager=True)
-    visited = frontier.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = spark_.createDataFrame([(src,)], "node long").localCheckpoint(eager=False)
+    visited = frontier.withColumn("dist", F.lit(0)).localCheckpoint(eager=False)
     # frontier/visited sizes are known exactly (each round counts),
     # so BROADCAST them while small: the big edge table then streams
     # through a map-side hash join instead of being re-shuffled on
@@ -93,7 +98,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(v, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the count
         )
         frontier_n = new.count()
         if frontier_n == 0:
@@ -101,7 +106,9 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited_n += frontier_n
         visited = (
             visited.unionAll(new.withColumn("dist", F.lit(d)))
-            .localCheckpoint(eager=True)
+            # eager=False: next round's visited-broadcast build (or the
+            # final collect) materializes it from checkpointed inputs
+            .localCheckpoint(eager=False)
         )
         frontier = new
     return visited.select("node", F.col("dist").cast("int").alias("dist"))

@@ -365,8 +365,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # ONE orderkey shuffle (basket combination emission) instead of a
-    # fact-table self-join — see operators/graph.py
-    e = copurchase_edges(li).localCheckpoint(eager=True)
+    # fact-table self-join — see operators/graph.py.
+    # eager=False checkpoints throughout (r13): each round already has
+    # an unavoidable action (keep.count gating the broadcast; the final
+    # collect) — that action materializes the persist-backed
+    # checkpoint chain, replacing 3 eager jobs per round with 1.
+    e = copurchase_edges(li).localCheckpoint(eager=False)
 
     def degrees(edges: DataFrame) -> DataFrame:
         ends = edges.select(F.col("pa").alias("node")).unionAll(
@@ -376,8 +380,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 1-row scalar, materialized ONCE — a lazy kq would re-derive the
     # full degree aggregation inside every peel round's plan
-    d0 = degrees(e).localCheckpoint(eager=True)
-    kq = d0.agg(F.expr("percentile(deg, 0.1)").alias("k")).localCheckpoint(eager=True)
+    d0 = degrees(e).localCheckpoint(eager=False)
+    kq = d0.agg(F.expr("percentile(deg, 0.1)").alias("k")).localCheckpoint(eager=False)
     edges = e
     deg_frame = d0  # round 1 reuses the percentile pass's degrees
     for _ in range(3):
@@ -390,13 +394,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg_frame.crossJoin(F.broadcast(kq))
             .filter(F.col("deg") >= F.col("k"))
             .select("node")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the count
         )
         kb = F.broadcast(keep) if keep.count() <= 2_000_000 else keep
         edges = (
             edges.join(kb, edges.pa == kb.node, "left_semi")
             .join(kb, F.col("pb") == kb.node, "left_semi")
-            .localCheckpoint(eager=True)
+            # eager=False: next round's keep.count (or the final
+            # collect) materializes it
+            .localCheckpoint(eager=False)
         )
         deg_frame = degrees(edges)
     return deg_frame.select("node", F.col("deg").cast("long").alias("deg"))

@@ -100,10 +100,13 @@ def corpus_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
+    # eager=False checkpoints throughout (r13): the final collect
+    # materializes the 3-round chain of persist-backed checkpoints in
+    # one job — 7 eager setup jobs folded away, identical plans/rows.
     vocab = words.select(
         "freq",
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     out_rows = []
     for rnd in range(1, 4):
@@ -125,7 +128,7 @@ def corpus_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
         )
         best = pairs.orderBy(F.desc("cnt"), "pair").limit(1).localCheckpoint(
-            eager=True
+            eager=False
         )
         out_rows.append(
             best.select(
@@ -144,7 +147,7 @@ def corpus_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.replace(F.col("pair"), F.lit(" "), F.lit("")),
                 ).alias("sym"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     res = out_rows[0]
     for r in out_rows[1:]:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.materialize import materialize
 from whisky_wine_etl_spark.plans.registry import query
 
 _P = 2147483647  # 2^31 - 1, Mersenne prime: (k % P) * M fits in int64
@@ -299,8 +300,9 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12: edges feeds three consumers (a1, h1's join side, a2's
         # join side) — materialize the fact-join + distinct once
         # instead of once per consumer (measured 4.5 → 3.8 s median
-        # at sf0.1; guide §2.4)
-        .localCheckpoint(eager=True)
+        # at sf0.1; guide §2.4). r13: eager=False (the final collect
+        # materializes it) + policy tier (fact-scale frame).
+        .transform(lambda d: materialize(d, fact_scale=True))
     )
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("a"))
     h1 = edges.join(a1, "p").groupBy("c").agg(F.sum("a").alias("h"))
@@ -465,9 +467,10 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair emission that copurchase_edges(distinct=False) would
     # otherwise rebuild from scratch (guide §2.4: two fact-scale
     # shuffles → one; measured 2.4 → 1.9 s median at sf0.1).
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
-    ).localCheckpoint(eager=True)
+    baskets = materialize(
+        li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts")),
+        fact_scale=True,
+    )
     n = (
         baskets.select(F.explode("parts").alias("l_partkey"))
         .groupBy("l_partkey")

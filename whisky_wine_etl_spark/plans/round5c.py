@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.materialize import materialize
 from whisky_wine_etl_spark.plans.registry import query
 
 
@@ -119,7 +120,11 @@ def sim_dbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cx", F.floor(F.col("x") / F.col("eps")).cast("long"))
         .withColumn("cy", F.floor(F.col("y") / F.col("eps")).cast("long"))
         .drop("n")
-        .localCheckpoint()
+        # eager=False (r13): materialized by the first downstream job
+        # (the CC convergence checksum via nb/core, ultimately) —
+        # persist-once semantics unchanged, eager setup jobs folded;
+        # policy tier: the point frame is fact-scale
+        .transform(lambda d: materialize(d, fact_scale=True))
     )
     offsets = F.expr(
         "explode(flatten(transform(sequence(-1, 1),"
@@ -161,14 +166,15 @@ def sim_dbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select("pa", "pb")
     # the pair frame feeds the density count, the core-edge build and
-    # the border attachment — materialize once
-    nb = nb.localCheckpoint()
+    # the border attachment — materialize once (eager=False: the CC
+    # edge checksum is the first action and pins the whole chain)
+    nb = materialize(nb, fact_scale=True)
     core = (
         nb.groupBy("pa")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= _DBSCAN_MINPTS)
         .select(F.col("pa").alias("pid"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ca = core.select(F.col("pid").alias("pa"))
     cb = core.select(F.col("pid").alias("pb"))
     core_edges = (

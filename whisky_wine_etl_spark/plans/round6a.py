@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from whisky_wine_etl_spark.catalog import load_table
+from whisky_wine_etl_spark.materialize import materialize
 from whisky_wine_etl_spark.plans.registry import query
 
 _JACC_CAP = 128
@@ -137,18 +138,23 @@ def graph_jaccard_skew_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = skewed_copurchase_lineitem(
         _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     )
-    edges = copurchase_edges(li, both_directions=True).localCheckpoint()
+    edges = materialize(
+        copurchase_edges(li, both_directions=True), fact_scale=True
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
     # allowed-via list is node-count-sized -> broadcast; idx feeds both
     # sides of the pair self-join -> materialize once
-    idx = edges.join(
-        F.broadcast(
-            deg.filter(F.col("d") <= _JACC_CAP).select(F.col("node").alias("dst"))
+    idx = materialize(
+        edges.join(
+            F.broadcast(
+                deg.filter(F.col("d") <= _JACC_CAP).select(F.col("node").alias("dst"))
+            ),
+            "dst",
         ),
-        "dst",
-    ).localCheckpoint()
+        fact_scale=True,
+    )
     a, b = idx.alias("a"), idx.alias("b")
     common = (
         a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
@@ -272,7 +278,8 @@ def graph_jaccard_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-ran per consumer (the union defeats runtime exchange
         # reuse). Materializing once measured 7.7 s → 3.8 s median at
         # sf0.1 (guide §2.4: remove repeated upstream work outright).
-        .localCheckpoint(eager=True)
+        # r13: eager=False + policy tier (fact-scale edge frame)
+        .transform(lambda d: materialize(d, fact_scale=True))
     )
     deg = edges.groupBy("brand", F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -414,7 +421,7 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side — materialize the split+posexplode emission once
     # instead of twice (measured 7.9 -> 2.6 s median at sf0.1; guide
     # §2.4)
-    sh = sh.localCheckpoint()
+    sh = materialize(sh, fact_scale=True)
     dup = (
         sh.groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("nd"))

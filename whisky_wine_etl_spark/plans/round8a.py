@@ -220,6 +220,12 @@ def source_format_fidelity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     base = _tmpdir(spark, sf_dir, "fidelity")
     per_fmt = []
+    # d feeds SEVEN consumers in the result plan (the n_rows aggregate
+    # and the null-safe-join left side, once per format) plus the
+    # format writes on first run — each union branch re-scanned orders
+    # and re-derived the 10 typed columns (r13, guide §2.4).
+    # eager=False: the final collect's first branch materializes it.
+    d = d.localCheckpoint(eager=False)
     n_rows = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     orig = d.alias("a")
     for fmt in _FID_FORMATS:

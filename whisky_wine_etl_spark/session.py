@@ -43,6 +43,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r13 (guide §1/§5 — the driver should do almost no per-query
+        # work): PySpark 4's DataFrame-debugging aid wraps EVERY
+        # DataFrame/Column API call with a Python stack walk plus two
+        # extra py4j round trips (conf lookup + PySparkCurrentOrigin
+        # .set) to attach user-code call sites to error messages.
+        # Measured on this box: ~5-10 ms per DataFrame op with it on
+        # vs ~5 ms off (same-process A/B: select p50 7.6-10.7 ->
+        # 4.9-5.4 ms, 30-op withColumn chain 227-350 -> 148-150 ms) —
+        # across ~130 bench queries that is tens of seconds of pure
+        # driver-side overhead. Results are unaffected (error-message
+        # enrichment only); scale-independent, so the same posture is
+        # right on a cluster. Static conf: must be set at build time.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -61,6 +74,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    # Same per-call debugging-aid shutdown as get_spark (see comment
+    # there), for sessions we did NOT build: the conf is static, so on
+    # a live session the only lever is PySpark's own memo of it. Best
+    # effort — a PySpark release that renames the memo just keeps the
+    # (correct, slower) default.
+    try:
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = False
     except Exception:
         pass
     return spark
