@@ -123,6 +123,14 @@ class _Scope:
     def __init__(self, ast: dict, base_columns: dict[str, str]):
         self.base = base_columns
         self.aliases: dict[str, list] = defaultdict(list)
+        # memo for _category keyed by (expression-node identity,
+        # alias stack): the function is pure in (node, scope, stack),
+        # and without the memo an alias chain whose every COLUMN_REF
+        # re-resolves all candidate expressions recursively is
+        # EXPONENTIAL in chain depth — one r13-profiled oracle made
+        # tests/test_oracle_discipline.py run for tens of minutes.
+        # Same results, linear time (r13; VERDICT r12 item 2).
+        self.memo: dict[tuple[int, frozenset[str]], str] = {}
         nodes: list = []
         _collect_select_nodes(ast, nodes)
         for node in nodes:
@@ -138,6 +146,16 @@ class _Scope:
 def _category(node, scope: _Scope, stack: frozenset[str]) -> str:
     if not isinstance(node, dict):
         return "UNKNOWN"
+    key = (id(node), stack)
+    hit = scope.memo.get(key)
+    if hit is not None:
+        return hit
+    out = _category_uncached(node, scope, stack)
+    scope.memo[key] = out
+    return out
+
+
+def _category_uncached(node, scope: _Scope, stack: frozenset[str]) -> str:
     cls = node.get("class")
 
     if cls == "CONSTANT":
